@@ -1,0 +1,98 @@
+"""Batching + threaded prefetch loader.
+
+Replaces the reference's ``DataLoader(num_workers=8, pin_memory=True)`` +
+zip/stack collate (reference: CLIPLPIPS_REG_training_sweep_example.py:
+159-188).  Decode/preprocess runs in a thread pool (PIL releases the GIL
+around decode/resize); batches are collated to numpy and double-buffered so
+host IO overlaps device compute.  The final partial batch is padded to the
+static batch size with a validity mask — jit sees one shape.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+
+def collate(samples) -> tuple:
+    """zip/stack pair collation: [( (a,b), y ), ...] → ((A, B), Y)."""
+    pairs, labels = zip(*samples)
+    imgs_a = np.stack([p[0] for p in pairs])
+    imgs_b = np.stack([p[1] for p in pairs])
+    return (imgs_a, imgs_b), np.stack(labels)
+
+
+def pad_batch(batch, batch_size: int):
+    """Pad a collated batch to ``batch_size`` rows; returns (batch, mask)."""
+    (a, b), y = batch
+    n = a.shape[0]
+    mask = np.zeros((batch_size,), np.float32)
+    mask[:n] = 1.0
+    if n < batch_size:
+        pad = lambda x: np.concatenate(  # noqa: E731
+            [x, np.repeat(x[-1:], batch_size - n, axis=0)], axis=0)
+        a, b, y = pad(a), pad(b), pad(y)
+    return ((a, b), y), mask
+
+
+class Loader:
+    """Iterable over padded, masked batches with background prefetch."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 seed: int = 0, num_workers: int = 8, prefetch: int = 2,
+                 drop_last: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+        self._epoch += 1
+
+        batches = [
+            order[i: i + self.batch_size]
+            for i in range(0, len(order), self.batch_size)
+        ]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                for idxs in batches:
+                    if stop.is_set():
+                        return
+                    samples = list(pool.map(self.dataset.__getitem__, idxs))
+                    q.put(pad_batch(collate(samples), self.batch_size))
+                q.put(None)
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()

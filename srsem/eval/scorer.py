@@ -1,0 +1,137 @@
+"""High-throughput batched pair scoring — the framework's serving path.
+
+This is what the reference does one pair at a time in a torch eval loop
+(reference: CLIPLPIPS_REG_training_sweep_example.py:85-94), rebuilt for TPU:
+
+* host threads decode JPEG/PNG and do the antialiased resize+crop to uint8;
+* batches stream to device, where normalize → backbone → head run as one
+  jitted program with the batch sharded over the mesh's ``data`` axis;
+* uint8 host→device transfer (3 bytes/pixel instead of 12 for float32)
+  keeps PCIe/ICI out of the critical path; normalization fuses into the
+  first conv;
+* double-buffering: batch N+1 decodes while batch N computes.
+
+Also hosts the CLU map scorer (same pipeline, map outputs).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from srsem.core.config import GlobalModelConfig, LocalModelConfig
+from srsem.core.meshes import batch_sharding, create_mesh, replicated_sharding
+from srsem.data.preprocess import Preprocess
+from srsem.models.global_models import make_global_model
+from srsem.models.local_models import make_local_model
+
+
+class PairScorer:
+    """Batched scorer for (GT, SR) image pairs.
+
+    ``model_kind``: "global" → scalar per pair; "local" → fidelity map.
+    """
+
+    def __init__(
+        self,
+        cfg,
+        variables,
+        mesh=None,
+        batch_size: int = 64,
+        model_kind: str = "global",
+        num_workers: int = 16,
+    ):
+        self.cfg = cfg
+        self.mesh = mesh or create_mesh()
+        self.batch_size = batch_size
+        self.model_kind = model_kind
+        self.num_workers = num_workers
+        self.preprocess = Preprocess.for_backbone(
+            cfg.backbone.kind, cfg.backbone.image_size)
+        if model_kind == "global":
+            self.model = make_global_model(cfg)
+        else:
+            self.model = make_local_model(cfg)
+        self._variables = variables
+
+        repl = replicated_sharding(self.mesh)
+        data = batch_sharding(self.mesh)
+        pre = self.preprocess
+
+        def score_batch(variables, a_u8, b_u8):
+            a = pre.device_normalize(a_u8)
+            b = pre.device_normalize(b_u8)
+            if model_kind == "local":
+                return self.model.apply(variables, a, b, train=False)
+            return self.model.apply(variables, a, b)
+
+        self._score_batch = jax.jit(
+            score_batch,
+            in_shardings=(repl, data, data),
+            out_shardings=data,
+        )
+        self._variables = jax.device_put(variables, repl)
+
+    # ---- device path ----------------------------------------------------
+
+    def score_arrays(self, a_u8: np.ndarray, b_u8: np.ndarray) -> jax.Array:
+        """Score a uint8 NHWC batch pair (padded to the static batch size by
+        the caller or via score_paths)."""
+        data = batch_sharding(self.mesh)
+        a_d = jax.device_put(a_u8, data)
+        b_d = jax.device_put(b_u8, data)
+        return self._score_batch(self._variables, a_d, b_d)
+
+    # ---- end-to-end path -------------------------------------------------
+
+    def _decode_pair(self, pair: Tuple[str, str]) -> Tuple[np.ndarray, np.ndarray]:
+        return (self.preprocess.decode_uint8(pair[0]),
+                self.preprocess.decode_uint8(pair[1]))
+
+    def score_paths(self, pairs: Sequence[Tuple[str, str]]) -> np.ndarray:
+        """Decode + score a list of (path_a, path_b); returns one score (or
+        map) per pair.  Failed decodes yield NaN rows — the reference's
+        per-item failure contract (reference:
+        datasets/SRdatasetPseudolabelGen/1_compute_image_metrics.py:119-134).
+        """
+        bs = self.batch_size
+        results: List[np.ndarray] = []
+        chunks = [pairs[i: i + bs] for i in range(0, len(pairs), bs)]
+        with cf.ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            submit = lambda chunk: [  # noqa: E731
+                pool.submit(self._safe_decode, p) for p in chunk]
+            pending = submit(chunks[0]) if chunks else None
+            for i in range(len(chunks)):
+                # Double-buffer: chunk i+1 decodes while chunk i scores.
+                nxt = submit(chunks[i + 1]) if i + 1 < len(chunks) else None
+                results.append(self._finish_chunk(pending))
+                pending = nxt
+        out = np.concatenate(results, axis=0) if results else np.zeros((0,))
+        return out[: len(pairs)]
+
+    def _safe_decode(self, pair):
+        try:
+            return self._decode_pair(pair)
+        except Exception:
+            return None
+
+    def _finish_chunk(self, futures) -> np.ndarray:
+        decoded = [f.result() for f in futures]
+        n = len(decoded)
+        size = self.preprocess.size
+        a = np.zeros((self.batch_size, size, size, 3), np.uint8)
+        b = np.zeros_like(a)
+        ok = np.zeros((self.batch_size,), bool)
+        for i, d in enumerate(decoded):
+            if d is not None:
+                a[i], b[i] = d
+                ok[i] = True
+        scores = np.array(jax.device_get(self.score_arrays(a, b)),
+                          np.float32, copy=True)
+        scores = scores[:n]
+        scores[~ok[:n]] = np.nan
+        return scores

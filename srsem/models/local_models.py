@@ -1,0 +1,169 @@
+"""Local semantic-fidelity map models ("CLU" = CLIP-LPIPS-UNet).
+
+Reimplements the four classes of the reference's
+``models/local_eval_models.py`` as one configurable module:
+
+================================  ======================================
+reference class                   config
+================================  ======================================
+CLIP_lpips_Unet (:7-171)          backbone=resnet50_clip, v2=False
+CLIP_lpips_Unet_clsbckbn (:175)   backbone=resnet50,      v2=False
+CLIP_lpips_Unet_v2 (:343-514)     backbone=resnet50_clip, v2=True
+CLIP_lpips_Unet_clsbckbn_v2       backbone=resnet50,      v2=True
+  (:518-689 — note the reference copy cannot even import: stray token
+  ``glo`` at local_eval_models.py:624; fixed here by construction)
+================================  ======================================
+
+Architecture (reference: models/local_eval_models.py:38-124): the frozen
+backbone yields a 5-level squared-difference pyramid over taps
+``stem + stages.{0..3}.2.act`` (channels 64/256/512/1024/2048, strides
+2/4/8/16/32).  The decoder starts at the deepest diff, and at each level
+conv-block → ×2 align-corners bilinear upsample → concat with the next
+shallower diff.  Blocks are Conv3x3+BN+ReLU ×2 except the last
+(Conv3x3+BN+ReLU then Conv1x1→1ch+ReLU).  Output is a 1-channel sigmoid map
+at input resolution.
+
+``v2`` adds a pixel-space squared-error channel — ``mean((a-b)^2)`` over RGB,
+bilinearly (align_corners=False) resized to each level and concatenated as
+one extra channel (reference: models/local_eval_models.py:444-456).
+
+LoRA / full fine-tune of the backbone mirrors the reference's
+``lora_rank`` semantics (reference: models/local_eval_models.py:17-24);
+the trainable-parameter partition (decoder, or decoder+LoRA, or everything)
+is decided by srsem.train.partition, matching ``save_model``'s
+"decoder-only unless LoRA" checkpoint contract (:160-171).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from srsem.backbones.resnet import (
+    CLIP_STAGE_TAPS,
+    CLIP_STEM_TAP,
+    IMAGENET_STAGE_TAPS,
+    IMAGENET_STEM_TAP,
+    ClipResNet50,
+    ImageNetResNet50,
+)
+from srsem.core.config import LocalModelConfig
+from srsem.ops.image import resize_bilinear, upsample_x2_align_corners
+
+Array = jax.Array
+
+_conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
+
+# Decoder channel plan, shallow→deep: (in_extra_from_skip, out) pairs are
+# implied by the tap channels; reference: models/local_eval_models.py:38-82.
+_LEVEL_CHANNELS = (64, 256, 512, 1024, 2048)
+
+
+class DecoderBlock(nn.Module):
+    """Conv3x3+BN+ReLU → Conv(k)+[BN]+ReLU.  The shallowest block ends with
+    a 1x1 conv to one channel and no second BN (reference :39-45)."""
+
+    mid: int
+    out: int
+    final_kernel: int = 3
+    final_bn: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool) -> Array:
+        x = x.astype(jnp.float32)
+        x = nn.Conv(self.mid, (3, 3), padding="SAME", kernel_init=_conv_init,
+                    param_dtype=jnp.float32, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, param_dtype=jnp.float32, name="bn1")(x)
+        x = nn.relu(x)
+        k = self.final_kernel
+        x = nn.Conv(self.out, (k, k), padding="SAME", kernel_init=_conv_init,
+                    param_dtype=jnp.float32, name="conv2")(x)
+        if self.final_bn:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, param_dtype=jnp.float32, name="bn2")(x)
+        return nn.relu(x)
+
+
+class CluUnet(nn.Module):
+    """map = model(a, b): per-pixel semantic-fidelity map in [0, 1]."""
+
+    backbone_kind: str = "resnet50_clip"
+    v2: bool = False
+    lora_rank: Optional[Union[int, str]] = None
+    compute_dtype: Any = jnp.bfloat16
+    sigmoid: bool = True  # False = the reference's global CLIP_lpips_Unet copy
+    image_size: int = 224
+
+    def setup(self):
+        rank = self.lora_rank if isinstance(self.lora_rank, int) else None
+        if self.backbone_kind == "resnet50_clip":
+            self.backbone = ClipResNet50(
+                lora_rank=rank, dtype=self.compute_dtype, image_size=self.image_size)
+            self.tap_names = (CLIP_STEM_TAP,) + CLIP_STAGE_TAPS
+        elif self.backbone_kind == "resnet50":
+            self.backbone = ImageNetResNet50(lora_rank=rank, dtype=self.compute_dtype)
+            self.tap_names = (IMAGENET_STEM_TAP,) + IMAGENET_STAGE_TAPS
+        else:
+            raise ValueError(f"unsupported CLU backbone {self.backbone_kind!r}")
+
+        # Block lvl consumes concat(diff[lvl], upsampled block lvl+1 output)
+        # and emits ch[lvl] channels; the shallowest block emits the 1-channel
+        # map (reference: models/local_eval_models.py:38-82).
+        blocks = []
+        for lvl, ch in enumerate(_LEVEL_CHANNELS):
+            if lvl == 0:
+                blocks.append(DecoderBlock(64, 1, final_kernel=1, final_bn=False,
+                                           name="decoder.0"))
+            else:
+                blocks.append(DecoderBlock(ch, ch, name=f"decoder.{lvl}"))
+        self.decoder = blocks
+
+    def __call__(self, a: Array, b: Array, train: bool = False) -> Array:
+        n = a.shape[0]
+        full_ft = self.lora_rank == "full"
+        emb, taps = self.backbone(jnp.concatenate([a, b], axis=0))
+        if not (full_ft or isinstance(self.lora_rank, int)):
+            taps = jax.tree.map(jax.lax.stop_gradient, taps)
+        diffs: List[Array] = []
+        for name in self.tap_names:
+            fa = taps[name][:n].astype(jnp.float32)
+            fb = taps[name][n:].astype(jnp.float32)
+            diffs.append((fa - fb) ** 2)
+
+        if self.v2:
+            # Pixel-space squared error, one channel, resized per level
+            # with align_corners=False (reference :444-456).
+            img_sq = jnp.mean(
+                (a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2,
+                axis=-1, keepdims=True)
+            diffs = [
+                jnp.concatenate(
+                    [d, resize_bilinear(img_sq, d.shape[1:3], align_corners=False)],
+                    axis=-1)
+                for d in diffs
+            ]
+
+        # Decode deepest→shallowest (reference :117-124).
+        h = self.decoder[-1](diffs[-1], train)
+        h = upsample_x2_align_corners(h)
+        for lvl in range(len(diffs) - 2, -1, -1):
+            h = jnp.concatenate([diffs[lvl], h], axis=-1)
+            h = self.decoder[lvl](h, train)
+            h = upsample_x2_align_corners(h)
+
+        h = h[..., 0]  # (N, H, W)
+        return jax.nn.sigmoid(h) if self.sigmoid else h
+
+
+def make_local_model(cfg: LocalModelConfig) -> CluUnet:
+    return CluUnet(
+        backbone_kind=cfg.backbone.kind,
+        v2=cfg.v2,
+        lora_rank=cfg.lora_rank,
+        compute_dtype=jnp.dtype(cfg.backbone.compute_dtype),
+        image_size=cfg.backbone.image_size,
+    )

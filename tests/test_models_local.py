@@ -1,0 +1,94 @@
+"""Behavioral tests for the CLU local-map models
+(reference: models/local_eval_models.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from srsem.core.config import BackboneConfig, LocalModelConfig
+from srsem.models.local_models import make_local_model
+
+
+def _make(kind="resnet50_clip", v2=False, lora_rank=None):
+    cfg = LocalModelConfig(
+        backbone=BackboneConfig(kind=kind, image_size=64, compute_dtype="float32"),
+        v2=v2, lora_rank=lora_rank)
+    return make_local_model(cfg)
+
+
+@pytest.mark.parametrize("kind,v2", [
+    ("resnet50_clip", False), ("resnet50", False), ("resnet50_clip", True),
+    ("resnet50", True),
+])
+def test_map_output_resolution_and_range(kind, v2, rng):
+    model = _make(kind, v2)
+    a = jax.random.uniform(rng, (2, 64, 64, 3))
+    b = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    vs = model.init(rng, a, b, train=False)
+    out = model.apply(vs, a, b, train=False)
+    assert out.shape == (2, 64, 64)  # map at input resolution
+    # final ReLU feeds the sigmoid → outputs live in [0.5, 1] (reference
+    # quirk: decoder[0] ends in ReLU then sigmoid,
+    # models/local_eval_models.py:39-45,123).
+    assert float(out.min()) >= 0.5 - 1e-6
+    assert float(out.max()) <= 1.0 + 1e-6
+
+
+def test_decoder_channel_plan_matches_reference(rng):
+    """Conv-in channels mirror models/local_eval_models.py:38-82."""
+    model = _make("resnet50_clip", v2=False)
+    x = jnp.zeros((1, 64, 64, 3))
+    vs = model.init(rng, x, x, train=False)
+    p = vs["params"]
+    conv_in = {lvl: p[f"decoder.{lvl}"]["conv1"]["kernel"].shape[2]
+               for lvl in range(5)}
+    assert conv_in == {0: 256 + 64, 1: 256 + 512, 2: 512 + 1024,
+                       3: 1024 + 2048, 4: 2048}
+
+
+def test_v2_adds_one_channel_per_level(rng):
+    model = _make("resnet50_clip", v2=True)
+    x = jnp.zeros((1, 64, 64, 3))
+    vs = model.init(rng, x, x, train=False)
+    p = vs["params"]
+    conv_in = {lvl: p[f"decoder.{lvl}"]["conv1"]["kernel"].shape[2]
+               for lvl in range(5)}
+    assert conv_in == {0: 256 + 64 + 1, 1: 256 + 512 + 1, 2: 512 + 1024 + 1,
+                       3: 1024 + 2048 + 1, 4: 2048 + 1}
+
+
+def test_lora_params_exist_and_only_decoder_plus_lora_train(rng):
+    from srsem.train.partition import partition_params, trainable_predicate
+    from flax import traverse_util
+
+    model = _make("resnet50_clip", lora_rank=4)
+    x = jnp.zeros((1, 64, 64, 3))
+    vs = model.init(rng, x, x, train=False)
+    flat = traverse_util.flatten_dict(vs["params"])
+    lora_keys = [k for k in flat if "lora_a" in k or "lora_b" in k]
+    assert lora_keys, "LoRA factors missing"
+
+    trainable, frozen = partition_params(
+        vs["params"], trainable_predicate(lora=True))
+    t_flat = traverse_util.flatten_dict(trainable)
+    assert any("lora_a" in k for k in t_flat)
+    assert all(k[0] != "backbone" or "lora_a" in k or "lora_b" in k
+               for k in t_flat)
+
+
+def test_lora_zero_init_preserves_frozen_forward(rng):
+    """LoRA A=0 init → forward identical to the frozen model at step 0
+    (pytora/standard LoRA semantics)."""
+    a = jax.random.uniform(rng, (1, 64, 64, 3))
+    b = jax.random.uniform(jax.random.PRNGKey(2), (1, 64, 64, 3))
+
+    base = _make("resnet50_clip", lora_rank=None)
+    vs_base = base.init(rng, a, b, train=False)
+    lora = _make("resnet50_clip", lora_rank=4)
+    vs_lora = lora.init(rng, a, b, train=False)
+
+    out_base = base.apply(vs_base, a, b, train=False)
+    out_lora = lora.apply(vs_lora, a, b, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_base), np.asarray(out_lora), atol=1e-6)

@@ -1,0 +1,55 @@
+"""Parity tests for resize ops against torch's two bilinear conventions —
+the reference mixes ``UpsamplingBilinear2d`` (align_corners=True,
+models/local_eval_models.py:84) and ``F.interpolate(align_corners=False)``
+(models/local_eval_models.py:449)."""
+
+import numpy as np
+import pytest
+
+from srsem.ops.image import normalize, resize_bilinear, upsample_x2_align_corners
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+
+@pytest.mark.parametrize("align_corners", [True, False])
+@pytest.mark.parametrize(
+    "in_hw,out_hw",
+    [((7, 7), (14, 14)), ((14, 10), (28, 20)), ((224, 224), (56, 56)),
+     ((13, 9), (7, 5)), ((4, 4), (9, 9))],
+)
+def test_resize_matches_torch(align_corners, in_hw, out_hw, np_rng):
+    x = np_rng.standard_normal((2, *in_hw, 3), dtype=np.float32)
+    ours = np.asarray(resize_bilinear(x, out_hw, align_corners=align_corners))
+    theirs = (
+        F.interpolate(
+            torch.from_numpy(x).permute(0, 3, 1, 2),
+            size=out_hw, mode="bilinear", align_corners=align_corners,
+        ).permute(0, 2, 3, 1).numpy()
+    )
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-5)
+
+
+def test_upsample_x2_matches_torch_upsampling_bilinear2d(np_rng):
+    x = np_rng.standard_normal((1, 7, 7, 5), dtype=np.float32)
+    ours = np.asarray(upsample_x2_align_corners(x))
+    theirs = (
+        torch.nn.UpsamplingBilinear2d(scale_factor=2)(
+            torch.from_numpy(x).permute(0, 3, 1, 2))
+        .permute(0, 2, 3, 1).numpy()
+    )
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-5)
+
+
+def test_resize_rank2_and_identity(np_rng):
+    x = np_rng.standard_normal((8, 8), dtype=np.float32)
+    same = np.asarray(resize_bilinear(x, (8, 8)))
+    np.testing.assert_array_equal(same, x)
+    up = resize_bilinear(x, (16, 16))
+    assert up.shape == (16, 16)
+
+
+def test_normalize():
+    x = np.full((1, 2, 2, 3), 0.5, np.float32)
+    y = np.asarray(normalize(x, (0.5, 0.5, 0.5), (0.25, 0.5, 1.0)))
+    np.testing.assert_allclose(y, 0.0, atol=1e-7)

@@ -1,0 +1,94 @@
+"""Pseudo-label stack tests: caption format round-trip, pair enumeration,
+batched cosine scoring (reference: datasets/SRdatasetPseudolabelGen/)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from srsem.pseudo.captions import (
+    SEPARATOR,
+    default_folders,
+    enumerate_pairs,
+    merge_caption_dicts,
+    parse_caption_file,
+    write_caption_file,
+)
+from srsem.pseudo.scoring import (
+    cosine_similarity_matrix,
+    rowwise_cosine,
+    score_caption_pairs,
+)
+from srsem.pseudo.text_embed import HashingTextEmbedder
+
+
+def test_caption_file_roundtrip(tmp_path):
+    path = str(tmp_path / "wholeim_captions_batch.txt")
+    caps = {"100": " A dog on grass.", "101": " A red car."}
+    write_caption_file(path, caps, append=False)
+    parsed = parse_caption_file(path)
+    assert parsed == caps
+    # Append more (the reference appends for resumability,
+    # 1_qwen_koniq_captions_run.py:124).
+    write_caption_file(path, {"102": " A tree."})
+    parsed = parse_caption_file(path)
+    assert len(parsed) == 3 and parsed["102"] == " A tree."
+
+
+def test_caption_parse_handles_extension_in_name(tmp_path):
+    path = str(tmp_path / "caps.txt")
+    with open(path, "w") as f:
+        f.write("Image: 123.jpg\nCaption: a photo" + SEPARATOR
+                + "Image: 456.png\nCaption: another")
+    parsed = parse_caption_file(path)
+    assert parsed == {"123": " a photo", "456": " another"}
+
+
+def test_default_folders_match_reference_layout():
+    folders = default_folders("koniq-10k_sr")
+    assert len(folders) == 16  # HQ + 5 models × 3 degradation factors
+    assert folders[0].endswith("HQ")
+    assert any("degfac_0.7_bsrgan" in f for f in folders)
+    assert any(f.endswith("LQ_x4_stablesr_out") for f in folders)
+
+
+def test_enumerate_pairs_hq_sr_plus_sr_combinations():
+    folders = ["HQ", "srA", "srB"]
+    listings = {"HQ": ["1.jpg"], "srA": ["1.png"], "srB": ["1.png"]}
+    pairs = enumerate_pairs(folders, listings)
+    # 3 HQ pairs (HQ self + 2 SR) + C(3,2)=3 SR×SR combinations
+    assert len(pairs) == 6
+    assert (os.path.join("HQ", "1.jpg"), os.path.join("srA", "1.png")) in pairs
+
+
+def test_score_caption_pairs_embeds_each_unique_caption_once():
+    calls = []
+
+    class CountingEmbedder(HashingTextEmbedder):
+        def encode(self, texts):
+            calls.append(len(texts))
+            return super().encode(texts)
+
+    captions = {"a": "dog on grass", "b": "dog on the grass", "c": "red car"}
+    pairs = [("a", "b"), ("a", "c"), ("b", "c"), ("a", "b")]
+    cos = score_caption_pairs(captions, pairs, CountingEmbedder())
+    assert len(calls) == 1 and calls[0] == 3  # unique captions only
+    assert cos.shape == (4,)
+    assert cos[0] == pytest.approx(cos[3])
+    assert cos[0] > cos[1]  # similar captions score higher
+
+
+def test_cosine_helpers():
+    a = np.array([[1.0, 0.0], [0.0, 2.0]], np.float32)
+    m = np.asarray(cosine_similarity_matrix(a, a))
+    np.testing.assert_allclose(m, np.eye(2), atol=1e-6)
+    r = np.asarray(rowwise_cosine(a, a))
+    np.testing.assert_allclose(r, 1.0, atol=1e-6)
+
+
+def test_hashing_embedder_deterministic_and_normalized():
+    e = HashingTextEmbedder()
+    v1 = e.encode(["hello world"])
+    v2 = e.encode(["hello world"])
+    np.testing.assert_array_equal(v1, v2)
+    assert np.linalg.norm(v1[0]) == pytest.approx(1.0, abs=1e-5)

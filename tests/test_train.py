@@ -1,0 +1,95 @@
+"""Training-harness tests: partitioning, checkpoints, sweep grids, and an
+end-to-end jitted training run over the virtual 8-device mesh (the standard
+JAX idiom for testing pjit sharding without TPUs — SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from srsem.core.config import (
+    BackboneConfig,
+    GlobalModelConfig,
+    MeshConfig,
+    TrainConfig,
+)
+from srsem.core.meshes import create_mesh
+from srsem.train.checkpoint import restore_checkpoint, save_checkpoint
+from srsem.train.partition import merge_params, partition_params, trainable_predicate
+from srsem.train.sweep import CLU_SWEEP, GLOBAL_SWEEP, grid_points, run_name, run_sweep
+
+
+class ArrayPairs:
+    """In-memory dataset of ((a, b), score) samples."""
+
+    def __init__(self, n=16, size=64, seed=0):
+        rng = np.random.default_rng(seed)
+        self.a = rng.uniform(size=(n, size, size, 3)).astype(np.float32)
+        noise = rng.normal(scale=0.1, size=(n, size, size, 3))
+        self.b = np.clip(self.a + noise, 0, 1).astype(np.float32)
+        self.y = rng.uniform(size=(n,)).astype(np.float32)
+
+    def __len__(self):
+        return len(self.y)
+
+    def __getitem__(self, i):
+        return (self.a[i], self.b[i]), self.y[i]
+
+
+def test_partition_roundtrip():
+    tree = {"backbone": {"conv": {"kernel": np.ones(3)}},
+            "aggregator": {"w": {"kernel": np.zeros(2)}}}
+    t, f = partition_params(tree, trainable_predicate())
+    assert "aggregator" in t and "backbone" not in t
+    merged = merge_params(t, f)
+    assert merged.keys() == tree.keys()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tree = {"w": np.arange(5.0), "nested": {"b": np.ones((2, 2))}}
+    save_checkpoint(str(tmp_path), 3, tree)
+    save_checkpoint(str(tmp_path), 7, {"w": np.zeros(5), "nested": {"b": 2 * np.ones((2, 2))}})
+    restored = restore_checkpoint(str(tmp_path), tree)  # latest = 7
+    np.testing.assert_array_equal(restored["w"], np.zeros(5))
+    restored3 = restore_checkpoint(str(tmp_path), tree, step=3)
+    np.testing.assert_array_equal(restored3["w"], np.arange(5.0))
+
+
+def test_sweep_grids_match_reference():
+    # reference: CLIPLPIPS_REG_training_sweep_example.py:107-114
+    assert list(grid_points(GLOBAL_SWEEP)) == [
+        {"depth": 1}, {"depth": 2}, {"depth": 3}]
+    # reference: CLU_training_sweep_example.py:78-89 → 4·2·3·3·2 = 144 points
+    assert len(list(grid_points(CLU_SWEEP))) == 144
+    assert run_name({"depth": 2}, "glob") == "glob_depth-2"
+
+
+def test_run_sweep_collects_summaries(tmp_path):
+    def fake_train(point):
+        return {"val_srcc": point["depth"] / 10}
+
+    results = run_sweep(fake_train, {"depth": [1, 2]},
+                        summary_path=str(tmp_path / "sweep.jsonl"))
+    assert len(results) == 2
+    assert results[1]["val_srcc"] == 0.2
+    assert (tmp_path / "sweep.jsonl").read_text().count("\n") == 2
+
+
+@pytest.mark.slow
+def test_train_global_end_to_end_on_mesh(tmp_path):
+    """One epoch of the real jitted train loop, batch sharded over the
+    8-device mesh, with SRCC/MSE eval and checkpointing."""
+    from srsem.data.loader import Loader
+    from srsem.train.loop import train_global
+
+    cfg = GlobalModelConfig(
+        backbone=BackboneConfig(kind="resnet50", image_size=64,
+                                compute_dtype="float32"),
+        head="stages_cnn", depth=1)
+    tcfg = TrainConfig(lr=1e-3, batch_size=8, epochs=1, seed=42,
+                       checkpoint_dir=str(tmp_path / "ckpt"),
+                       mesh=MeshConfig(data_axis=-1))
+    ds = ArrayPairs(n=16)
+    loader = Loader(ds, batch_size=8, shuffle=True, seed=0, num_workers=2)
+    result = train_global(cfg, tcfg, loader, loader)
+    assert np.isfinite(result.val_metrics["mse"])
+    assert "srcc" in result.val_metrics
+    assert (tmp_path / "ckpt" / "latest.json").exists()
