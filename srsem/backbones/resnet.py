@@ -31,7 +31,7 @@ convolution epilogue.
 
 Optional LoRA on every conv (rank-r factors added to the kernel at apply
 time) replaces the reference's ``pytora.apply_lora``
-(reference: models/local_eval_models.py:23); see srsem/models/lora.py.
+(reference: models/local_eval_models.py:23); see srsem/ops/lora.py.
 """
 
 from __future__ import annotations
@@ -42,7 +42,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from srsem.models.lora import lora_delta
+from srsem.ops.lora import lora_delta
 
 Array = jax.Array
 

@@ -1,0 +1,185 @@
+"""SR-output filtering metrics over image folders.
+
+Rebuilds the reference's stage-1 filtering job
+(reference: datasets/SRdatasetPseudolabelGen/1_compute_image_metrics.py):
+match GT/eval files by stem, compute per-pair quality metrics, write a
+``metrics.csv`` per folder with NaN rows for failures, and sweep the five
+SR-model output folders.
+
+TPU-first restructure: the reference scores one pair at a time through
+pyiqa on GPU inside a 3-worker process pool (:164-182).  Here decode runs
+on host threads while SSIM/PSNR/LPIPS evaluate as ONE jitted batch program
+on device; folders stream sequentially through the same compiled function.
+Metric backends:
+
+* SSIM / PSNR — native JAX (srsem.explain.iqa);
+* LPIPS — perceptual distance over our frozen feature pyramid: mean of
+  per-stage mean squared differences of unit-normalized features (the
+  LPIPS recipe with uniform weights; a learned-weight head can be loaded
+  on top — it is exactly the global regressor's architecture);
+* KonIQ++ — an external no-reference model in the reference (vendored
+  checkout, not in its tree); pluggable callable here, NaN columns when
+  absent — the same degradation the reference exhibits without the
+  Koniqpp/ checkout.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import os
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+from PIL import Image
+
+from srsem.explain.iqa import psnr as psnr_fn, ssim as ssim_fn
+
+IMG_EXTENSIONS = {".jpg", ".jpeg", ".png", ".bmp", ".tiff", ".tif"}
+
+KONIQPP_COLUMNS = ("Koniq++IQA", "Koniq++blur", "Koniq++artifacts",
+                   "Koniq++contrast", "Koniq++color")
+
+
+class ImageQualityMetrics:
+    """Batched pair-metric evaluator.
+
+    ``koniqpp``: optional callable path → dict with the five KonIQ++
+    scores; ``lpips_fn``: optional callable (gt_batch, eval_batch) → (N,)
+    distances (defaults to the feature-pyramid LPIPS below).
+    """
+
+    def __init__(self, image_size: int = 224, batch_size: int = 32,
+                 koniqpp: Optional[Callable] = None,
+                 lpips_fn: Optional[Callable] = None):
+        self.image_size = image_size
+        self.batch_size = batch_size
+        self.koniqpp = koniqpp
+        self.lpips_fn = lpips_fn or make_pyramid_lpips(image_size)
+
+        @jax.jit
+        def _classical(gt, ev):
+            return ssim_fn(gt, ev), psnr_fn(gt, ev)
+
+        self._classical = _classical
+
+    def _load(self, path: str) -> np.ndarray:
+        img = Image.open(path).convert("RGB").resize(
+            (self.image_size, self.image_size), Image.BICUBIC)
+        return np.asarray(img, np.float32) / 255.0
+
+    def batch(self, gt_paths: Sequence[str], eval_paths: Sequence[str],
+              workers: int = 8) -> List[Dict[str, float]]:
+        """Metrics for matched path lists; failed rows carry NaNs
+        (reference: 1_compute_image_metrics.py:119-134)."""
+        def safe_load(pair):
+            try:
+                return self._load(pair[0]), self._load(pair[1])
+            except Exception:
+                return None
+
+        with cf.ThreadPoolExecutor(max_workers=workers) as pool:
+            decoded = list(pool.map(safe_load, zip(gt_paths, eval_paths)))
+
+        results: List[Dict[str, float]] = []
+        ok_idx = [i for i, d in enumerate(decoded) if d is not None]
+        nan_row = {"SSIM": np.nan, "PSNR": np.nan, "LPIPS": np.nan,
+                   **{c: np.nan for c in KONIQPP_COLUMNS}}
+        rows = [dict(nan_row) for _ in decoded]
+
+        for start in range(0, len(ok_idx), self.batch_size):
+            chunk = ok_idx[start: start + self.batch_size]
+            gt = jnp.asarray(np.stack([decoded[i][0] for i in chunk]))
+            ev = jnp.asarray(np.stack([decoded[i][1] for i in chunk]))
+            ssim_v, psnr_v = self._classical(gt, ev)
+            lpips_v = self.lpips_fn(gt, ev)
+            for j, i in enumerate(chunk):
+                rows[i]["SSIM"] = float(ssim_v[j])
+                rows[i]["PSNR"] = float(psnr_v[j])
+                rows[i]["LPIPS"] = float(lpips_v[j])
+        if self.koniqpp is not None:
+            for i in ok_idx:
+                try:
+                    rows[i].update(self.koniqpp(eval_paths[i]))
+                except Exception:
+                    pass
+        return rows
+
+    def __call__(self, gt_path: str, eval_path: str) -> Dict[str, float]:
+        return self.batch([gt_path], [eval_path])[0]
+
+
+def make_pyramid_lpips(image_size: int = 224):
+    """LPIPS-style perceptual distance over the frozen ImageNet ResNet-50
+    pyramid: unit-normalize each tapped stage channelwise, mean squared
+    difference per stage, mean over stages.  Uniform-weight LPIPS — the
+    learned 1x1 heads are exactly the global regressor
+    (srsem.models.global_models), which can replace this when trained."""
+    from srsem.backbones.resnet import IMAGENET_STAGE_TAPS, ImageNetResNet50
+    from srsem.ops.image import IMAGENET_MEAN, IMAGENET_STD, normalize
+
+    model = ImageNetResNet50(dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(rng, jnp.zeros((1, image_size, image_size, 3)))
+
+    @jax.jit
+    def lpips(gt, ev):
+        n = gt.shape[0]
+        x = jnp.concatenate([gt, ev], axis=0)
+        x = normalize(x, IMAGENET_MEAN, IMAGENET_STD)
+        _, taps = model.apply(variables, x)
+        total = 0.0
+        for name in IMAGENET_STAGE_TAPS:
+            f = taps[name].astype(jnp.float32)
+            f = f / jnp.linalg.norm(f, axis=-1, keepdims=True).clip(1e-9)
+            diff = (f[:n] - f[n:]) ** 2
+            total = total + jnp.mean(diff, axis=(1, 2, 3))
+        return total / len(IMAGENET_STAGE_TAPS)
+
+    return lpips
+
+
+def process_image_folders(metrics_calc: ImageQualityMetrics, gt_folder: str,
+                          eval_folder: str, output_csv: str) -> pd.DataFrame:
+    """Match by stem, score, write CSV (reference:
+    1_compute_image_metrics.py:62-155).  Resumable: an existing complete CSV
+    is returned untouched (idempotent folder jobs, SURVEY.md §5)."""
+    gt_files = {f.stem: f for f in Path(gt_folder).iterdir()
+                if f.is_file() and f.suffix.lower() in IMG_EXTENSIONS}
+    eval_files = {f.stem: f for f in Path(eval_folder).iterdir()
+                  if f.is_file() and f.suffix.lower() in IMG_EXTENSIONS}
+    common = sorted(set(gt_files) & set(eval_files))
+    if not common:
+        raise ValueError("No matching image pairs found between the two folders")
+
+    if os.path.exists(output_csv):
+        existing = pd.read_csv(output_csv)
+        if len(existing) == len(common):
+            return existing
+
+    gt_paths = [str(gt_files[n]) for n in common]
+    eval_paths = [str(eval_files[n]) for n in common]
+    rows = metrics_calc.batch(gt_paths, eval_paths)
+    df = pd.DataFrame([
+        {"image_name": n, "gt_path": g, "eval_path": e, **r}
+        for n, g, e, r in zip(common, gt_paths, eval_paths, rows)
+    ])
+    df.to_csv(output_csv, index=False)
+    return df
+
+
+def run_folder_sweep(gt_folder: str, eval_folders: Sequence[str],
+                     metrics_calc: Optional[ImageQualityMetrics] = None,
+                     csv_name: str = "metrics.csv") -> Dict[str, pd.DataFrame]:
+    """Sweep the SR-model output folders (the reference drives this with a
+    3-worker process pool, :164-182; one process owns the TPU here, so
+    folders stream through the same compiled batch program)."""
+    metrics_calc = metrics_calc or ImageQualityMetrics()
+    out = {}
+    for folder in eval_folders:
+        out[folder] = process_image_folders(
+            metrics_calc, gt_folder, folder, os.path.join(folder, csv_name))
+    return out

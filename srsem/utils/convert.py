@@ -1,0 +1,141 @@
+"""Torch-checkpoint → Flax-param converters for the two ResNet-50 towers.
+
+The reference's accuracy hinges on pretrained backbones
+(``timm.create_model(..., pretrained=True)`` —
+reference: models/global_eval_models.py:315,695).  This environment has no
+network, so pretrained weights arrive as torch state dicts supplied by the
+user; these converters map them into our NHWC param trees:
+
+* conv kernels: OIHW → HWIO transpose;
+* linear weights: (out, in) → (in, out) transpose;
+* BatchNorm: weight/bias/running_mean/running_var → scale/bias/mean/var of
+  FrozenBatchNorm.
+
+Supported layouts: torchvision/timm ``resnet50`` (conv1, bn1,
+layer{1..4}.{b}.conv{1..3}/bn{1..3}/downsample.{0,1}) and OpenAI CLIP's
+``visual`` tower (stem conv1-3/bn1-3, layer{1..4}.{b} with
+avgpool-downsample ("-1"/0/1 keys collapse to 0/1 in state dicts), attnpool
+q/k/v/c_proj + positional_embedding).
+
+Tested against randomly-initialized torch mirror models
+(tests/test_torch_parity.py) — golden-activation parity without a network.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping
+
+import numpy as np
+from flax import traverse_util
+
+
+def _np(v) -> np.ndarray:
+    if hasattr(v, "detach"):
+        v = v.detach().cpu().numpy()
+    return np.asarray(v, np.float32)
+
+
+def _conv(w) -> np.ndarray:
+    return _np(w).transpose(2, 3, 1, 0)  # OIHW → HWIO
+
+
+def _bn(flat: Dict, path: tuple, sd: Mapping, prefix: str) -> None:
+    flat[path + ("scale",)] = _np(sd[f"{prefix}.weight"])
+    flat[path + ("bias",)] = _np(sd[f"{prefix}.bias"])
+    flat[path + ("mean",)] = _np(sd[f"{prefix}.running_mean"])
+    flat[path + ("var",)] = _np(sd[f"{prefix}.running_var"])
+
+
+def convert_torch_resnet50(sd: Mapping[str, Any]) -> Dict:
+    """torchvision/timm ``resnet50`` state dict → ImageNetResNet50 params."""
+    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+    flat: Dict[tuple, np.ndarray] = {}
+    flat[("conv1", "kernel")] = _conv(sd["conv1.weight"])
+    _bn(flat, ("bn1",), sd, "bn1")
+    blocks = (3, 4, 6, 3)
+    for s, n in enumerate(blocks, start=1):
+        for b in range(n):
+            tp = f"layer{s}.{b}"
+            jp = f"layer{s}.{b}"
+            for c in (1, 2, 3):
+                flat[(jp, f"conv{c}", "kernel")] = _conv(sd[f"{tp}.conv{c}.weight"])
+                _bn(flat, (jp, f"bn{c}"), sd, f"{tp}.bn{c}")
+            if f"{tp}.downsample.0.weight" in sd:
+                flat[(jp, "downsample_conv", "kernel")] = _conv(
+                    sd[f"{tp}.downsample.0.weight"])
+                _bn(flat, (jp, "downsample_bn"), sd, f"{tp}.downsample.1")
+    return traverse_util.unflatten_dict(flat)
+
+
+def convert_clip_resnet50(sd: Mapping[str, Any],
+                          image_size: int = 224) -> Dict:
+    """OpenAI CLIP ``visual`` tower state dict → ClipResNet50 params.
+
+    Accepts keys with or without a ``visual.`` prefix.  CLIP's stem convs
+    are named conv1/bn1..conv3/bn3; ours are stem.conv1/stem.bn1... Blocks
+    ``layer{s}.{b}`` map to ``stages.{s-1}.{b}``; CLIP downsample keys are
+    ``downsample.0`` (conv, after the avgpool "-1") and ``downsample.1``
+    (bn).
+    """
+    sd = {k[len("visual."):] if k.startswith("visual.") else k: v
+          for k, v in sd.items()}
+    flat: Dict[tuple, np.ndarray] = {}
+    for i in (1, 2, 3):
+        flat[(f"stem.conv{i}", "kernel")] = _conv(sd[f"conv{i}.weight"])
+        _bn(flat, (f"stem.bn{i}",), sd, f"bn{i}")
+    blocks = (3, 4, 6, 3)
+    for s, n in enumerate(blocks, start=1):
+        for b in range(n):
+            tp = f"layer{s}.{b}"
+            jp = f"stages.{s - 1}.{b}"
+            for c in (1, 2, 3):
+                flat[(jp, f"conv{c}", "kernel")] = _conv(sd[f"{tp}.conv{c}.weight"])
+                _bn(flat, (jp, f"bn{c}"), sd, f"{tp}.bn{c}")
+            if f"{tp}.downsample.0.weight" in sd:
+                flat[(jp, "downsample_conv", "kernel")] = _conv(
+                    sd[f"{tp}.downsample.0.weight"])
+                _bn(flat, (jp, "downsample_bn"), sd, f"{tp}.downsample.1")
+    # Attention pool.
+    flat[("attnpool", "positional_embedding")] = _np(
+        sd["attnpool.positional_embedding"])
+    for proj in ("q_proj", "k_proj", "v_proj"):
+        flat[("attnpool", proj, "kernel")] = _np(sd[f"attnpool.{proj}.weight"]).T
+        flat[("attnpool", proj, "bias")] = _np(sd[f"attnpool.{proj}.bias"])
+    flat[("attnpool", "out_proj", "kernel")] = _np(sd["attnpool.c_proj.weight"]).T
+    flat[("attnpool", "out_proj", "bias")] = _np(sd["attnpool.c_proj.bias"])
+    return traverse_util.unflatten_dict(flat)
+
+
+def convert_clip_text(sd: Mapping[str, Any]) -> Dict:
+    """OpenAI CLIP text transformer state dict → ClipTextEncoder params.
+
+    Expects the standard keys: token_embedding.weight,
+    positional_embedding, transformer.resblocks.N.{attn.in_proj_weight/
+    in_proj_bias/out_proj.*, ln_1.*, ln_2.*, mlp.c_fc.*, mlp.c_proj.*},
+    ln_final.*, text_projection.
+    """
+    flat: Dict[tuple, np.ndarray] = {}
+    flat[("token_embedding", "embedding")] = _np(sd["token_embedding.weight"])
+    flat[("positional_embedding",)] = _np(sd["positional_embedding"])
+    flat[("text_projection",)] = _np(sd["text_projection"])
+    flat[("ln_final", "scale")] = _np(sd["ln_final.weight"])
+    flat[("ln_final", "bias")] = _np(sd["ln_final.bias"])
+    n_layers = 1 + max(
+        int(m.group(1)) for k in sd
+        if (m := re.match(r"transformer\.resblocks\.(\d+)\.", k)))
+    for l in range(n_layers):
+        tp = f"transformer.resblocks.{l}"
+        jp = f"resblocks.{l}"
+        flat[(jp, "attn.qkv", "kernel")] = _np(sd[f"{tp}.attn.in_proj_weight"]).T
+        flat[(jp, "attn.qkv", "bias")] = _np(sd[f"{tp}.attn.in_proj_bias"])
+        flat[(jp, "attn.out_proj", "kernel")] = _np(
+            sd[f"{tp}.attn.out_proj.weight"]).T
+        flat[(jp, "attn.out_proj", "bias")] = _np(sd[f"{tp}.attn.out_proj.bias"])
+        for ln in ("ln_1", "ln_2"):
+            flat[(jp, ln, "scale")] = _np(sd[f"{tp}.{ln}.weight"])
+            flat[(jp, ln, "bias")] = _np(sd[f"{tp}.{ln}.bias"])
+        for mlp in ("c_fc", "c_proj"):
+            flat[(jp, f"mlp.{mlp}", "kernel")] = _np(sd[f"{tp}.mlp.{mlp}.weight"]).T
+            flat[(jp, f"mlp.{mlp}", "bias")] = _np(sd[f"{tp}.mlp.{mlp}.bias"])
+    return traverse_util.unflatten_dict(flat)

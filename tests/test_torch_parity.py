@@ -1,0 +1,220 @@
+"""Golden-activation parity vs torch mirror models.
+
+The reference runs on timm pretrained towers; with zero egress we validate
+architecture + converter correctness against randomly-initialized torch
+mirrors written here (torchvision/timm ResNet-50 layout and OpenAI CLIP's
+ModifiedResNet layout), per SURVEY.md §4's parity-test strategy.  If our
+NHWC Flax towers reproduce a random torch network bit-for-bit (to fp32
+tolerance) through the converter, pretrained checkpoints convert
+identically.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
+from collections import OrderedDict  # noqa: E402
+
+from srsem.backbones.resnet import ClipResNet50, ImageNetResNet50  # noqa: E402
+from srsem.utils.convert import (  # noqa: E402
+    convert_clip_resnet50,
+    convert_torch_resnet50,
+)
+
+
+def _randomize_bn(m):
+    for mod in m.modules():
+        if isinstance(mod, tnn.BatchNorm2d):
+            with torch.no_grad():
+                mod.weight.uniform_(0.5, 1.5)
+                mod.bias.uniform_(-0.5, 0.5)
+                mod.running_mean.uniform_(-0.5, 0.5)
+                mod.running_var.uniform_(0.5, 1.5)
+
+
+class TorchBottleneck(tnn.Module):
+    def __init__(self, cin, width, stride):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(cin, width, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(width)
+        self.conv2 = tnn.Conv2d(width, width, 3, stride, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(width)
+        self.conv3 = tnn.Conv2d(width, width * 4, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(width * 4)
+        self.relu = tnn.ReLU()
+        self.downsample = None
+        if stride != 1 or cin != width * 4:
+            self.downsample = tnn.Sequential(
+                tnn.Conv2d(cin, width * 4, 1, stride, bias=False),
+                tnn.BatchNorm2d(width * 4))
+
+    def forward(self, x):
+        h = self.relu(self.bn1(self.conv1(x)))
+        h = self.relu(self.bn2(self.conv2(h)))
+        h = self.bn3(self.conv3(h))
+        sc = self.downsample(x) if self.downsample is not None else x
+        return self.relu(h + sc)
+
+
+class TorchResNet50(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        self.relu = tnn.ReLU()
+        self.maxpool = tnn.MaxPool2d(3, 2, 1)
+        cin = 64
+        for s, (blocks, width) in enumerate(
+                zip((3, 4, 6, 3), (64, 128, 256, 512)), start=1):
+            layers = []
+            for b in range(blocks):
+                stride = 2 if (b == 0 and s > 1) else 1
+                layers.append(TorchBottleneck(cin, width, stride))
+                cin = width * 4
+            setattr(self, f"layer{s}", tnn.Sequential(*layers))
+
+    def forward(self, x):
+        h = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        taps = {}
+        for s in range(1, 5):
+            layer = getattr(self, f"layer{s}")
+            for b, block in enumerate(layer):
+                h = block(h)
+                if b == 2:
+                    taps[f"layer{s}.2.act3"] = h
+        return h.mean(dim=(2, 3)), taps
+
+
+class TorchClipBottleneck(tnn.Module):
+    def __init__(self, cin, width, stride):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(cin, width, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(width)
+        self.conv2 = tnn.Conv2d(width, width, 3, 1, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(width)
+        self.avgpool = tnn.AvgPool2d(stride) if stride > 1 else tnn.Identity()
+        self.conv3 = tnn.Conv2d(width, width * 4, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(width * 4)
+        self.relu = tnn.ReLU()
+        self.downsample = None
+        if stride > 1 or cin != width * 4:
+            self.downsample = tnn.Sequential(OrderedDict([
+                ("-1", tnn.AvgPool2d(stride) if stride > 1 else tnn.Identity()),
+                ("0", tnn.Conv2d(cin, width * 4, 1, bias=False)),
+                ("1", tnn.BatchNorm2d(width * 4)),
+            ]))
+
+    def forward(self, x):
+        h = self.relu(self.bn1(self.conv1(x)))
+        h = self.relu(self.bn2(self.conv2(h)))
+        h = self.avgpool(h)
+        h = self.bn3(self.conv3(h))
+        sc = self.downsample(x) if self.downsample is not None else x
+        return self.relu(h + sc)
+
+
+class TorchAttentionPool(tnn.Module):
+    def __init__(self, spacial_dim, embed_dim, num_heads, output_dim):
+        super().__init__()
+        self.positional_embedding = tnn.Parameter(
+            torch.randn(spacial_dim ** 2 + 1, embed_dim) / embed_dim ** 0.5)
+        self.k_proj = tnn.Linear(embed_dim, embed_dim)
+        self.q_proj = tnn.Linear(embed_dim, embed_dim)
+        self.v_proj = tnn.Linear(embed_dim, embed_dim)
+        self.c_proj = tnn.Linear(embed_dim, output_dim)
+        self.num_heads = num_heads
+
+    def forward(self, x):
+        x = x.flatten(start_dim=2).permute(2, 0, 1)  # (HW, N, C)
+        x = torch.cat([x.mean(dim=0, keepdim=True), x], dim=0)
+        x = x + self.positional_embedding[:, None, :]
+        out, _ = tnn.functional.multi_head_attention_forward(
+            query=x[:1], key=x, value=x,
+            embed_dim_to_check=x.shape[-1], num_heads=self.num_heads,
+            q_proj_weight=self.q_proj.weight, k_proj_weight=self.k_proj.weight,
+            v_proj_weight=self.v_proj.weight, in_proj_weight=None,
+            in_proj_bias=torch.cat(
+                [self.q_proj.bias, self.k_proj.bias, self.v_proj.bias]),
+            bias_k=None, bias_v=None, add_zero_attn=False, dropout_p=0,
+            out_proj_weight=self.c_proj.weight, out_proj_bias=self.c_proj.bias,
+            use_separate_proj_weight=True, training=False, need_weights=False)
+        return out.squeeze(0)
+
+
+class TorchClipResNet50(tnn.Module):
+    def __init__(self, image_size=64):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 32, 3, 2, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(32)
+        self.conv2 = tnn.Conv2d(32, 32, 3, 1, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(32)
+        self.conv3 = tnn.Conv2d(32, 64, 3, 1, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(64)
+        self.avgpool = tnn.AvgPool2d(2)
+        self.relu = tnn.ReLU()
+        cin = 64
+        for s, (blocks, width) in enumerate(
+                zip((3, 4, 6, 3), (64, 128, 256, 512)), start=1):
+            layers = []
+            for b in range(blocks):
+                stride = 2 if (b == 0 and s > 1) else 1
+                layers.append(TorchClipBottleneck(cin, width, stride))
+                cin = width * 4
+            setattr(self, f"layer{s}", tnn.Sequential(*layers))
+        self.attnpool = TorchAttentionPool(image_size // 32, 2048, 32, 1024)
+
+    def forward(self, x):
+        h = self.relu(self.bn1(self.conv1(x)))
+        h = self.relu(self.bn2(self.conv2(h)))
+        h = self.relu(self.bn3(self.conv3(h)))
+        taps = {"stem.conv3": h}
+        h = self.avgpool(h)
+        for s in range(1, 5):
+            for b, block in enumerate(getattr(self, f"layer{s}")):
+                h = block(h)
+                if b == 2:
+                    taps[f"stages.{s - 1}.2.act"] = h
+        return self.attnpool(h), taps
+
+
+def _nchw(x_nhwc):
+    return torch.from_numpy(np.ascontiguousarray(x_nhwc.transpose(0, 3, 1, 2)))
+
+
+def test_imagenet_resnet50_matches_torch(np_rng):
+    tm = TorchResNet50().eval()
+    _randomize_bn(tm)
+    params = convert_torch_resnet50(tm.state_dict())
+
+    x = np_rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_pooled, t_taps = tm(_nchw(x))
+
+    jm = ImageNetResNet50(dtype=np.float32)
+    pooled, taps = jm.apply({"params": params}, x)
+    np.testing.assert_allclose(
+        np.asarray(pooled), t_pooled.numpy(), rtol=1e-4, atol=1e-4)
+    for name in ("layer1.2.act3", "layer4.2.act3"):
+        np.testing.assert_allclose(
+            np.asarray(taps[name]),
+            t_taps[name].permute(0, 2, 3, 1).numpy(), rtol=1e-4, atol=1e-4)
+
+
+def test_clip_resnet50_matches_torch(np_rng):
+    tm = TorchClipResNet50(image_size=64).eval()
+    _randomize_bn(tm)
+    params = convert_clip_resnet50(tm.state_dict(), image_size=64)
+
+    x = np_rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_emb, t_taps = tm(_nchw(x))
+
+    jm = ClipResNet50(dtype=np.float32, image_size=64)
+    emb, taps = jm.apply({"params": params}, x)
+    for name in ("stem.conv3", "stages.0.2.act", "stages.3.2.act"):
+        np.testing.assert_allclose(
+            np.asarray(taps[name]),
+            t_taps[name].permute(0, 2, 3, 1).numpy(), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(emb), t_emb.numpy(), rtol=1e-3, atol=1e-3)
