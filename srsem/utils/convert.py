@@ -107,6 +107,40 @@ def convert_clip_resnet50(sd: Mapping[str, Any],
     return traverse_util.unflatten_dict(flat)
 
 
+def convert_clip_vit(sd: Mapping[str, Any]) -> Dict:
+    """timm ``vit_base_patch16_clip_224``-layout state dict → ClipViT params.
+
+    Expected keys: patch_embed.proj.{weight,bias}, cls_token, pos_embed,
+    norm_pre.*, blocks.N.{norm1,attn.qkv,attn.proj,norm2,mlp.fc1,mlp.fc2}.*,
+    norm.*.  LayerScale (ls1/ls2) params are identity for CLIP ViTs and are
+    ignored if present.
+    """
+    flat: Dict[tuple, np.ndarray] = {}
+    flat[("patch_embed", "kernel")] = _conv(sd["patch_embed.proj.weight"])
+    flat[("patch_embed", "bias")] = _np(sd["patch_embed.proj.bias"])
+    flat[("cls_token",)] = _np(sd["cls_token"]).reshape(1, 1, -1)
+    flat[("pos_embed",)] = _np(sd["pos_embed"]).reshape(
+        1, -1, _np(sd["cls_token"]).shape[-1])
+    for ln_t, ln_j in (("norm_pre", "norm_pre"), ("norm", "norm")):
+        flat[(ln_j, "scale")] = _np(sd[f"{ln_t}.weight"])
+        flat[(ln_j, "bias")] = _np(sd[f"{ln_t}.bias"])
+    n_layers = 1 + max(
+        int(m.group(1)) for k in sd
+        if (m := re.match(r"blocks\.(\d+)\.", k)))
+    for l in range(n_layers):
+        tp = f"blocks.{l}"
+        jp = f"blocks.{l}"
+        for ln in ("norm1", "norm2"):
+            flat[(jp, ln, "scale")] = _np(sd[f"{tp}.{ln}.weight"])
+            flat[(jp, ln, "bias")] = _np(sd[f"{tp}.{ln}.bias"])
+        for lin_t, lin_j in (("attn.qkv", "attn.qkv"),
+                             ("attn.proj", "attn.proj"),
+                             ("mlp.fc1", "mlp.fc1"), ("mlp.fc2", "mlp.fc2")):
+            flat[(jp, lin_j, "kernel")] = _np(sd[f"{tp}.{lin_t}.weight"]).T
+            flat[(jp, lin_j, "bias")] = _np(sd[f"{tp}.{lin_t}.bias"])
+    return traverse_util.unflatten_dict(flat)
+
+
 def convert_clip_text(sd: Mapping[str, Any]) -> Dict:
     """OpenAI CLIP text transformer state dict → ClipTextEncoder params.
 

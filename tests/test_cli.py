@@ -1,0 +1,64 @@
+"""CLI smoke tests (argument wiring; heavy paths exercised elsewhere)."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from PIL import Image
+
+from srsem.cli.main import main
+
+
+def test_cli_requires_subcommand(capsys):
+    with pytest.raises(SystemExit):
+        main([])
+
+
+def test_pseudo_c2c_end_to_end(tmp_path):
+    """Full C2C pipeline on a synthetic koniq-style tree with the hashing
+    embedder — caption files → pair enumeration → cosine CSV
+    (reference flow: qwen_caps_embedding_script.py)."""
+    from srsem.pseudo.captions import default_folders, write_caption_file
+
+    root = str(tmp_path / "koniq-10k_sr")
+    folders = default_folders(root)[:3]  # HQ + 2 SR folders
+    rng = np.random.default_rng(0)
+    for f in folders:
+        os.makedirs(f)
+        for i in range(2):
+            Image.fromarray(
+                rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)).save(
+                os.path.join(f, f"{i}.jpg"))
+        write_caption_file(
+            os.path.join(f, "wholeim_captions_batch.txt"),
+            {str(i): f" photo {i} from {os.path.basename(f)}" for i in range(2)},
+            append=False)
+
+    out = str(tmp_path / "cosines.csv")
+    rc = main(["pseudo-c2c", root, "--embedder", "hashing", "--out", out])
+    assert rc == 0
+    df = pd.read_csv(out)
+    # 3 folders × 2 images HQ-pairs + per-HQ SR×SR combinations C(3,2)=3 ×2
+    assert len(df) == 12
+    assert df["cosine"].between(-1.0 - 1e-5, 1.0 + 1e-5).all()
+
+
+def test_folder_metrics_cli(tmp_path):
+    rng = np.random.default_rng(1)
+    gt = tmp_path / "HQ"
+    ev = tmp_path / "sr_out"
+    gt.mkdir()
+    ev.mkdir()
+    for i in range(3):
+        arr = rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(gt / f"{i}.jpg")
+        noisy = np.clip(arr + rng.integers(-20, 20, arr.shape), 0, 255)
+        Image.fromarray(noisy.astype(np.uint8)).save(ev / f"{i}.png")
+    rc = main(["folder-metrics", str(gt), str(ev), "--batch-size", "2"])
+    assert rc == 0
+    df = pd.read_csv(ev / "metrics.csv")
+    assert len(df) == 3
+    assert df["SSIM"].notna().all()
+    assert (df["SSIM"] < 1.0).all() and (df["SSIM"] > 0.0).all()

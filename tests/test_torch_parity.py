@@ -218,3 +218,83 @@ def test_clip_resnet50_matches_torch(np_rng):
             t_taps[name].permute(0, 2, 3, 1).numpy(), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(
         np.asarray(emb), t_emb.numpy(), rtol=1e-3, atol=1e-3)
+
+
+class TorchViTBlock(tnn.Module):
+    def __init__(self, width=768, heads=12):
+        super().__init__()
+        self.norm1 = tnn.LayerNorm(width, eps=1e-5)
+        self.qkv = tnn.Linear(width, 3 * width)
+        self.proj = tnn.Linear(width, width)
+        self.norm2 = tnn.LayerNorm(width, eps=1e-5)
+        self.fc1 = tnn.Linear(width, 4 * width)
+        self.fc2 = tnn.Linear(4 * width, width)
+        self.heads = heads
+
+    def forward(self, x):
+        n, t, c = x.shape
+        hd = c // self.heads
+        h = self.norm1(x)
+        qkv = self.qkv(h).reshape(n, t, 3, self.heads, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        attn = torch.einsum("nqhd,nkhd->nhqk", q, k) / hd ** 0.5
+        attn = attn.softmax(dim=-1)
+        h = torch.einsum("nhqk,nkhd->nqhd", attn, v).reshape(n, t, c)
+        x = x + self.proj(h)
+        branch = self.fc2(tnn.functional.gelu(self.fc1(self.norm2(x))))
+        return x + branch, branch
+
+
+class TorchClipViT(tnn.Module):
+    def __init__(self, width=96, heads=4, depth=3, patch=8):
+        super().__init__()
+        # state-dict keys must match timm naming for the converter
+        self.patch_embed = tnn.Module()
+        self.patch_embed.proj = tnn.Conv2d(3, width, patch, patch)
+        self.cls_token = tnn.Parameter(torch.randn(1, 1, width) * 0.02)
+        self.pos_embed = tnn.Parameter(torch.randn(1, 17, width) * 0.02)
+        self.norm_pre = tnn.LayerNorm(width, eps=1e-5)
+        self.blocks = tnn.ModuleList(
+            [TorchViTBlock(width, heads) for _ in range(depth)])
+        self.norm = tnn.LayerNorm(width, eps=1e-5)
+
+    def forward(self, x):
+        n = x.shape[0]
+        p = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
+        x = torch.cat([self.cls_token.expand(n, -1, -1), p], dim=1)
+        x = self.norm_pre(x + self.pos_embed)
+        taps = {}
+        for i, blk in enumerate(self.blocks):
+            x, branch = blk(x)
+            taps[f"blocks.{i}.ls2"] = branch
+        return self.norm(x)[:, 0], taps
+
+
+def test_clip_vit_matches_torch(np_rng):
+    from srsem.backbones.vit import ClipViT
+    from srsem.utils.convert import convert_clip_vit
+
+    tm = TorchClipViT().eval()
+    # flatten blocks.N names like timm ("blocks.0.norm1.weight", ...)
+    sd = {k.replace("blocks.", "blocks.").replace(".qkv.", ".attn.qkv.")
+           .replace(".proj.weight", ".proj.weight")
+           .replace(".fc1.", ".mlp.fc1.").replace(".fc2.", ".mlp.fc2."): v
+          for k, v in tm.state_dict().items()}
+    # block proj → attn.proj (but not patch_embed.proj)
+    sd = {(k.replace(".proj.", ".attn.proj.")
+           if k.startswith("blocks.") and ".attn." not in k and ".mlp." not in k
+           and ".proj." in k else k): v
+          for k, v in sd.items()}
+    params = convert_clip_vit(sd)
+
+    x = np_rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_emb, t_taps = tm(_nchw(x))
+
+    jm = ClipViT(patch=8, width=96, depth=3, heads=4, dtype=np.float32)
+    emb, taps = jm.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(emb), t_emb.numpy(),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(taps["blocks.2.ls2"]),
+                               t_taps["blocks.2.ls2"].numpy(),
+                               rtol=1e-4, atol=1e-4)
