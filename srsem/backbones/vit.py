@@ -73,6 +73,9 @@ class ClipViT(nn.Module):
     depth: int = 12
     heads: int = 12
     dtype: Any = jnp.bfloat16
+    # Side of the positional-embedding grid the params were trained at
+    # (14 = 224px/16).  Other input sizes interpolate at apply time.
+    pos_grid: int = 14
 
     @nn.compact
     def __call__(self, x: Array, tap_offsets=None) -> Tuple[Array, Dict[str, Array]]:
@@ -90,8 +93,20 @@ class ClipViT(nn.Module):
         tokens = jnp.concatenate(
             [jnp.broadcast_to(cls.astype(self.dtype), (n, 1, self.width)), tokens],
             axis=1)
+        # Positional table sized for the training grid; bilinearly
+        # interpolated for other input sizes (the reference's ALBEF-style
+        # pos-embed resize on load, SURVEY.md §2.6 / albef wrapper :58-60).
+        nominal = self.pos_grid
         pos = self.param("pos_embed", nn.initializers.normal(0.02),
-                         (1, gh * gw + 1, self.width), jnp.float32)
+                         (1, nominal * nominal + 1, self.width), jnp.float32)
+        if pos.shape[1] != gh * gw + 1:
+            cls_pos, grid_pos = pos[:, :1], pos[:, 1:]
+            side = int(round(float(grid_pos.shape[1]) ** 0.5))
+            grid_pos = jax.image.resize(
+                grid_pos.reshape(side, side, self.width),
+                (gh, gw, self.width), method="bilinear",
+            ).reshape(1, gh * gw, self.width)
+            pos = jnp.concatenate([cls_pos, grid_pos], axis=1)
         tokens = tokens + pos.astype(self.dtype)
         tokens = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                               param_dtype=jnp.float32, name="norm_pre")(tokens)

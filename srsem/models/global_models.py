@@ -111,11 +111,15 @@ class TokenHeadAggregator(nn.Module):
 
     @nn.compact
     def __call__(self, diffs: List[Array]) -> Array:
+        shared_head = (nn.Dense(1, kernel_init=_head_init,
+                                param_dtype=jnp.float32, name="w_layer")
+                       if self.shared else None)
         scores = []
         for j, d in enumerate(diffs):  # d: (N, tokens, width)
-            name = "w_layer" if self.shared else f"w_layers.{j}"
-            w = nn.Dense(1, kernel_init=_head_init, param_dtype=jnp.float32,
-                         name=name)(d)[..., 0]
+            head = shared_head or nn.Dense(
+                1, kernel_init=_head_init, param_dtype=jnp.float32,
+                name=f"w_layers.{j}")
+            w = head(d)[..., 0]
             scores.append(jnp.mean(w, axis=-1))
         return nn.relu(jnp.mean(jnp.stack(scores, axis=0), axis=0))
 
@@ -161,15 +165,16 @@ class GlobalPairScorer(nn.Module):
             self.tap_names = ()
             self.aggregator = MlpHead((1028, 512, 1))
         elif head == "single_lin_vit":
-            self.tap_names = vit_block_taps(depth)
+            self.tap_names = vit_block_taps(depth, total=self.cfg.backbone.vit_depth)
             self.aggregator = TokenHeadAggregator(len(self.tap_names), shared=True)
         elif head == "stages_vit":
             # Every 3rd block to mirror ResNet's four stages
             # (reference: models/global_eval_models.py:116).
-            self.tap_names = vit_block_taps(depth, step=3)
+            self.tap_names = vit_block_taps(
+                depth, total=self.cfg.backbone.vit_depth, step=3)
             self.aggregator = TokenHeadAggregator(len(self.tap_names))
         elif head == "wperlay_vit":
-            self.tap_names = vit_block_taps(depth)
+            self.tap_names = vit_block_taps(depth, total=self.cfg.backbone.vit_depth)
             self.aggregator = TokenHeadAggregator(len(self.tap_names))
         else:
             raise ValueError(f"unknown global head {self.cfg.head!r}")

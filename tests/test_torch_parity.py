@@ -291,7 +291,7 @@ def test_clip_vit_matches_torch(np_rng):
     with torch.no_grad():
         t_emb, t_taps = tm(_nchw(x))
 
-    jm = ClipViT(patch=8, width=96, depth=3, heads=4, dtype=np.float32)
+    jm = ClipViT(patch=8, width=96, depth=3, heads=4, dtype=np.float32, pos_grid=4)
     emb, taps = jm.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(emb), t_emb.numpy(),
                                rtol=1e-4, atol=1e-4)
