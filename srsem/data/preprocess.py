@@ -46,6 +46,22 @@ class Preprocess:
                               mean=IMAGENET_MEAN, std=IMAGENET_STD)
         raise ValueError(f"unknown backbone kind {kind!r}")
 
+    def decode_uint8_native(self, path: str) -> Optional[np.ndarray]:
+        """C++ fast path (srsem.native): threaded libjpeg/libpng decode +
+        bicubic resample (within ~0.2 LSB mean of PIL).  Returns None when
+        the native library is unavailable or the file fails to decode."""
+        from srsem import native
+
+        if not native.available():
+            return None
+        return native.decode(path, self.size, self.crop_pct)
+
+    def decode_batch_native(self, paths, n_threads: int = 16):
+        """Batch C++ decode → (N, size, size, 3) uint8 + ok mask."""
+        from srsem import native
+
+        return native.decode_batch(paths, self.size, self.crop_pct, n_threads)
+
     def decode_uint8(self, path_or_img) -> np.ndarray:
         """Host path: decode → shortest-edge bicubic resize → center crop.
         Returns HWC uint8."""

@@ -45,12 +45,14 @@ class PairScorer:
         model_kind: str = "global",
         num_workers: int = 16,
         use_fused_kernel: bool = False,
+        decode_backend: str = "pil",
     ):
         self.cfg = cfg
         self.mesh = mesh or create_mesh()
         self.batch_size = batch_size
         self.model_kind = model_kind
         self.num_workers = num_workers
+        self.decode_backend = decode_backend
         self.preprocess = Preprocess.for_backbone(
             cfg.backbone.kind, cfg.backbone.image_size)
         if model_kind == "global":
@@ -110,9 +112,17 @@ class PairScorer:
 
     # ---- end-to-end path -------------------------------------------------
 
+    def _decode_one(self, path: str) -> np.ndarray:
+        if self.decode_backend == "native":
+            # C++ decode (GIL-free inside the thread pool; srsem/native).
+            img = self.preprocess.decode_uint8_native(path)
+            if img is None:
+                raise IOError(f"native decode failed: {path}")
+            return img
+        return self.preprocess.decode_uint8(path)
+
     def _decode_pair(self, pair: Tuple[str, str]) -> Tuple[np.ndarray, np.ndarray]:
-        return (self.preprocess.decode_uint8(pair[0]),
-                self.preprocess.decode_uint8(pair[1]))
+        return self._decode_one(pair[0]), self._decode_one(pair[1])
 
     def score_paths(self, pairs: Sequence[Tuple[str, str]]) -> np.ndarray:
         """Decode + score a list of (path_a, path_b); returns one score (or

@@ -1,0 +1,78 @@
+"""Native C++ decoder tests: build, decode both formats, PIL parity,
+failure contract (srsem/native/decoder.cpp)."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from srsem import native
+from srsem.data.preprocess import Preprocess
+
+pytestmark = pytest.mark.skipif(
+    not native.available(),
+    reason=f"native decoder unavailable: {native.build_error()}")
+
+
+@pytest.fixture()
+def image_files(tmp_path):
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 256, (300, 400, 3), dtype=np.uint8)
+    pj = str(tmp_path / "a.jpg")
+    pp = str(tmp_path / "a.png")
+    Image.fromarray(arr).save(pj, quality=95)
+    Image.fromarray(arr).save(pp)
+    return pj, pp, arr
+
+
+def test_decode_shapes_and_formats(image_files):
+    pj, pp, _ = image_files
+    for p in (pj, pp):
+        out = native.decode(p, 224, 1.0)
+        assert out is not None and out.shape == (224, 224, 3)
+        assert out.dtype == np.uint8
+
+
+def test_png_resample_close_to_pil(image_files):
+    """PNG is lossless, so the diff is pure resampling: PIL uses fixed-point
+    bicubic, ours float — expect sub-LSB mean agreement."""
+    _, pp, _ = image_files
+    pre = Preprocess(size=224, crop_pct=1.0)
+    pil = pre.decode_uint8(pp).astype(np.int32)
+    nat = native.decode(pp, 224, 1.0).astype(np.int32)
+    diff = np.abs(pil - nat)
+    # Noise images are the resampling worst case; PIL's fixed-point
+    # arithmetic rounds differently on a tiny tail of pixels.
+    assert diff.mean() < 0.5
+    assert np.quantile(diff, 0.999) <= 6
+    assert diff.max() <= 16
+
+
+def test_crop_pct_scales_before_crop(image_files):
+    pj, _, _ = image_files
+    full = native.decode(pj, 224, 1.0)
+    cropped = native.decode(pj, 224, 0.875)  # scales up then center-crops
+    assert full.shape == cropped.shape == (224, 224, 3)
+    assert not np.array_equal(full, cropped)
+
+
+def test_batch_failure_contract(image_files, tmp_path):
+    pj, pp, _ = image_files
+    bad = str(tmp_path / "bad.jpg")
+    open(bad, "wb").write(b"junk")
+    missing = str(tmp_path / "missing.jpg")
+    imgs, ok = native.decode_batch([pj, bad, pp, missing], 64)
+    assert imgs.shape == (4, 64, 64, 3)
+    np.testing.assert_array_equal(ok, [True, False, True, False])
+    assert imgs[1].sum() == 0  # failed rows zero-filled
+
+
+def test_grayscale_png_promoted_to_rgb(tmp_path):
+    gray = Image.fromarray(
+        np.random.default_rng(1).integers(0, 256, (100, 120), dtype=np.uint8),
+        mode="L")
+    p = str(tmp_path / "gray.png")
+    gray.save(p)
+    out = native.decode(p, 64, 1.0)
+    assert out is not None and out.shape == (64, 64, 3)
+    # all three channels equal for grayscale input
+    np.testing.assert_array_equal(out[..., 0], out[..., 1])
