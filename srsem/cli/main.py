@@ -175,6 +175,94 @@ def _make_embedder(kind: str):
     raise ValueError(f"unknown embedder {kind!r}")
 
 
+def cmd_pseudo_captions(args) -> int:
+    """Whole-image captioning over the KonIQ folder layout
+    (reference driver: 1_qwen_koniq_captions_run.py:131-144)."""
+    import os
+
+    from srsem.pseudo.captions import default_folders
+    from srsem.pseudo.vlm import StaticCaptioner, TransformersCaptioner, caption_folder_batch
+
+    if args.backend == "static":
+        captioner = StaticCaptioner()
+    elif args.backend.startswith("transformers:"):
+        captioner = TransformersCaptioner(args.backend.split(":", 1)[1])
+    else:
+        raise SystemExit(f"unknown captioner backend {args.backend!r}")
+    counts = {}
+    for folder in default_folders(args.root):
+        if os.path.isdir(folder):
+            counts[folder] = caption_folder_batch(
+                captioner, folder, batch_size=args.batch_size)
+    print(json.dumps(counts))
+    return 0
+
+
+def cmd_maps_build(args) -> int:
+    """Assemble per-pair cosine maps + filt_refs.csv from panoptic pickles
+    and per-region caption files (the reference's missing stage 3 —
+    srsem/maps/cosmap.py)."""
+    import os
+    import pickle
+
+    import pandas as pd
+
+    from srsem.maps.cosmap import read_region_captions, write_cosine_map_dataset
+    from srsem.maps.panoptic import panoptic_to_masks
+
+    pairs = pd.read_csv(args.pairs_csv)
+    records = []
+    for _, row in pairs.iterrows():
+        a, b = row["img_a_pth"], row["img_b_pth"]
+        stem_a = os.path.splitext(os.path.basename(a))[0]
+        stem_b = os.path.splitext(os.path.basename(b))[0]
+        pan_dir_a = os.path.join(os.path.dirname(a), "general_panoptic")
+        pan_dir_b = os.path.join(os.path.dirname(b), "general_panoptic")
+        with open(os.path.join(pan_dir_a, stem_a + ".pkl"), "rb") as f:
+            panoptic = pickle.load(f)
+        ids = list(panoptic_to_masks(panoptic))
+        caps_a = read_region_captions(
+            os.path.join(pan_dir_a, stem_a + ".txt"), ids)
+        caps_b = read_region_captions(
+            os.path.join(pan_dir_b, stem_b + ".txt"), ids)
+        records.append((a, b, panoptic, caps_a, caps_b))
+
+    embedder = _make_embedder(args.embedder)
+    write_cosine_map_dataset(records, embedder, args.out_dir, args.out_csv)
+    print(json.dumps({"pairs": len(records), "csv": args.out_csv}))
+    return 0
+
+
+def cmd_sweep_dataset(args) -> int:
+    """Global scores + CLU maps over GT/SR folders with one shared backbone
+    pass (BASELINE config #5; srsem/eval/dataset_sweep.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from srsem.core.config import (BackboneConfig, GlobalModelConfig,
+                                   LocalModelConfig)
+    from srsem.eval.dataset_sweep import DualScorer
+    from srsem.models.global_models import make_global_model
+    from srsem.models.local_models import make_local_model
+
+    bb = BackboneConfig(kind=args.backbone)
+    gcfg = GlobalModelConfig(backbone=bb, head="stages_cnn", depth=3)
+    lcfg = LocalModelConfig(backbone=bb)
+    size = bb.image_size
+    z = jnp.zeros((1, size, size, 3))
+    gvars = make_global_model(gcfg).init(jax.random.PRNGKey(0), z, z)
+    lvars = make_local_model(lcfg).init(jax.random.PRNGKey(1), z, z, train=False)
+    scorer = DualScorer(gcfg, lcfg, gvars, lvars, batch_size=args.batch_size)
+    summary = {}
+    for sr_folder in args.sr_folders:
+        df = scorer.score_folders(args.gt_folder, sr_folder)
+        out = args.out_template.format(folder=sr_folder.rstrip("/").split("/")[-1])
+        df.to_csv(out, index=False)
+        summary[sr_folder] = {"pairs": len(df), "out": out}
+    print(json.dumps(summary))
+    return 0
+
+
 def cmd_folder_metrics(args) -> int:
     from srsem.eval.folder_metrics import ImageQualityMetrics, run_folder_sweep
 
@@ -232,6 +320,28 @@ def main(argv=None) -> int:
     p.add_argument("eval_folders", nargs="+")
     p.add_argument("--batch-size", type=int, default=32)
     p.set_defaults(fn=cmd_folder_metrics)
+
+    p = sub.add_parser("pseudo-captions")
+    p.add_argument("root")
+    p.add_argument("--backend", default="static",
+                   help='"static" or "transformers:<model-name>"')
+    p.add_argument("--batch-size", type=int, default=10)
+    p.set_defaults(fn=cmd_pseudo_captions)
+
+    p = sub.add_parser("maps-build")
+    p.add_argument("pairs_csv")
+    p.add_argument("--out-dir", default="cosine_maps")
+    p.add_argument("--out-csv", default="filt_refs.csv")
+    p.add_argument("--embedder", default="hashing")
+    p.set_defaults(fn=cmd_maps_build)
+
+    p = sub.add_parser("sweep-dataset")
+    p.add_argument("gt_folder")
+    p.add_argument("sr_folders", nargs="+")
+    p.add_argument("--backbone", default="resnet50_clip")
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--out-template", default="scores_{folder}.csv")
+    p.set_defaults(fn=cmd_sweep_dataset)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -1,0 +1,142 @@
+"""Full SR-outputs dataset sweep: global scores + CLU maps in one pass.
+
+BASELINE config #5: score the 10k GT/SR pair set with fused preprocessing,
+the global regressor AND the CLU map model, sharded over the mesh.  The
+reference would run these as two separate jobs, each with two frozen
+backbone passes per pair; here the frozen tower runs ONCE per pair batch
+and its tap pyramid feeds both the global head and the UNet decoder —
+halving the dominant cost of running both evaluations.
+
+Folder convention mirrors the reference's KonIQ SR layout
+(reference: qwen_caps_embedding_script.py:59-76): a GT folder and SR-model
+output folders with matching stems.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from srsem.core.config import GlobalModelConfig, LocalModelConfig
+from srsem.core.meshes import batch_sharding, create_mesh, replicated_sharding
+from srsem.data.preprocess import Preprocess
+from srsem.models.global_models import stage_taps_for
+from srsem.models.local_models import CluUnet
+
+
+class DualScorer:
+    """Shared-backbone global + CLU scoring.
+
+    Requires both models to use the same backbone kind/size so the frozen
+    tower params can be shared (the flagship pairing: resnet50_clip).
+    ``variables`` carries {"backbone", "aggregator", "decoder"} param trees
+    (+ CLU batch_stats).
+    """
+
+    def __init__(self, global_cfg: GlobalModelConfig,
+                 local_cfg: LocalModelConfig, global_variables,
+                 local_variables, mesh=None, batch_size: int = 32,
+                 num_workers: int = 16, decode_backend: str = "pil"):
+        if global_cfg.backbone.kind != local_cfg.backbone.kind:
+            raise ValueError("global/local backbones must match to share taps")
+        self.mesh = mesh or create_mesh()
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self.decode_backend = decode_backend
+        self.preprocess = Preprocess.for_backbone(
+            global_cfg.backbone.kind, global_cfg.backbone.image_size)
+
+        lmodel = CluUnet(
+            backbone_kind=local_cfg.backbone.kind, v2=local_cfg.v2,
+            compute_dtype=jnp.dtype(local_cfg.backbone.compute_dtype),
+            image_size=local_cfg.backbone.image_size)
+
+        from srsem.backbones.resnet import make_backbone
+
+        backbone = make_backbone(global_cfg.backbone)
+        tap_names = stage_taps_for(global_cfg.backbone.kind, global_cfg.depth)
+        pre = self.preprocess
+
+        def score_both(gvars, lvars, a_u8, b_u8):
+            a = pre.device_normalize(a_u8)
+            b = pre.device_normalize(b_u8)
+            n = a.shape[0]
+            # ONE frozen-tower pass for both models.
+            _, taps = backbone.apply(
+                {"params": gvars["params"]["backbone"]},
+                jnp.concatenate([a, b], axis=0))
+            taps_a = {k: v[:n] for k, v in taps.items()}
+            taps_b = {k: v[n:] for k, v in taps.items()}
+
+            # Global head on squared diffs (aggregator applied directly).
+            from srsem.models.global_models import (ConvHeadAggregator,
+                                                    squared_diffs)
+
+            diffs = squared_diffs(taps_a, taps_b, tap_names)
+            agg = ConvHeadAggregator(len(tap_names))
+            scores = agg.apply({"params": gvars["params"]["aggregator"]}, diffs)
+
+            # CLU decoder over the same taps.
+            maps = lmodel.apply(
+                {"params": {**lvars["params"],
+                            "backbone": gvars["params"]["backbone"]},
+                 **({"batch_stats": lvars["batch_stats"]}
+                    if "batch_stats" in lvars else {})},
+                a, b, train=False,
+                method=lambda m, a_, b_, train: m.decode_from_taps(
+                    taps_a, taps_b, a_, b_, train))
+            return scores, maps
+
+        repl = replicated_sharding(self.mesh)
+        data = batch_sharding(self.mesh)
+        self._score_both = jax.jit(
+            score_both, in_shardings=(repl, repl, data, data),
+            out_shardings=(data, data))
+        self._gvars = jax.device_put(global_variables, repl)
+        self._lvars = jax.device_put(local_variables, repl)
+
+    def score_folders(self, gt_folder: str, sr_folder: str,
+                      exts=(".jpg", ".png"),
+                      map_reduce: str = "mean") -> "pd.DataFrame":
+        """Match stems, score every pair → DataFrame(image, score,
+        map_summary).  NaN rows on decode failure."""
+        import pandas as pd
+
+        gt = {os.path.splitext(f)[0]: os.path.join(gt_folder, f)
+              for f in sorted(os.listdir(gt_folder)) if f.endswith(exts)}
+        sr = {os.path.splitext(f)[0]: os.path.join(sr_folder, f)
+              for f in sorted(os.listdir(sr_folder)) if f.endswith(exts)}
+        names = sorted(set(gt) & set(sr))
+        rows = []
+        bs = self.batch_size
+        size = self.preprocess.size
+        for start in range(0, len(names), bs):
+            chunk = names[start: start + bs]
+            a = np.zeros((bs, size, size, 3), np.uint8)
+            b = np.zeros_like(a)
+            ok = np.zeros((bs,), bool)
+            for i, name in enumerate(chunk):
+                try:
+                    a[i] = self.preprocess.decode_uint8(gt[name])
+                    b[i] = self.preprocess.decode_uint8(sr[name])
+                    ok[i] = True
+                except Exception:
+                    pass
+            data = batch_sharding(self.mesh)
+            scores, maps = self._score_both(
+                self._gvars, self._lvars,
+                jax.device_put(a, data), jax.device_put(b, data))
+            scores = np.array(jax.device_get(scores), np.float32, copy=True)
+            maps = np.asarray(jax.device_get(maps), np.float32)
+            for i, name in enumerate(chunk):
+                rows.append({
+                    "image": name,
+                    "score": float(scores[i]) if ok[i] else np.nan,
+                    "map_mean": float(maps[i].mean()) if ok[i] else np.nan,
+                    "map_min": float(maps[i].min()) if ok[i] else np.nan,
+                })
+        return pd.DataFrame(rows)

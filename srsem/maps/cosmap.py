@@ -54,6 +54,16 @@ def assemble_cosine_map(
     return cosmap, len(captions_a)
 
 
+def read_region_captions(txt_path: str, region_ids) -> Dict[int, str]:
+    """Load per-region captions written one-per-line by the region-caption
+    stage (reference: caption_generation_vipllava.py:90-127 writes one
+    caption per panoptic mask, in region-id order)."""
+    with open(txt_path) as f:
+        lines = [l.rstrip("\n") for l in f]
+    ids = sorted(int(i) for i in region_ids)
+    return {rid: lines[k] for k, rid in enumerate(ids) if k < len(lines)}
+
+
 def write_cosine_map_dataset(
     records: Sequence[Tuple[str, str, np.ndarray, Dict[int, str], Dict[int, str]]],
     embedder,

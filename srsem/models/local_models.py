@@ -128,10 +128,19 @@ class CluUnet(nn.Module):
         emb, taps = self.backbone(jnp.concatenate([a, b], axis=0))
         if not (full_ft or isinstance(self.lora_rank, int)):
             taps = jax.tree.map(jax.lax.stop_gradient, taps)
+        taps_a = {k: v[:n] for k, v in taps.items()}
+        taps_b = {k: v[n:] for k, v in taps.items()}
+        return self.decode_from_taps(taps_a, taps_b, a, b, train)
+
+    def decode_from_taps(self, taps_a, taps_b, a: Array, b: Array,
+                         train: bool = False) -> Array:
+        """Diff + UNet decode over precomputed backbone taps — lets the
+        dataset-sweep scorer share ONE frozen-tower pass between the global
+        head and this decoder (srsem/eval/dataset_sweep.py)."""
         diffs: List[Array] = []
         for name in self.tap_names:
-            fa = taps[name][:n].astype(jnp.float32)
-            fb = taps[name][n:].astype(jnp.float32)
+            fa = taps_a[name].astype(jnp.float32)
+            fb = taps_b[name].astype(jnp.float32)
             diffs.append((fa - fb) ** 2)
 
         if self.v2:

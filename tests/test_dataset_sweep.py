@@ -1,0 +1,60 @@
+"""DualScorer: shared-backbone global+CLU sweep (BASELINE config #5)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from srsem.core.config import BackboneConfig, GlobalModelConfig, LocalModelConfig
+from srsem.eval.dataset_sweep import DualScorer
+from srsem.models.global_models import make_global_model
+from srsem.models.local_models import make_local_model
+
+
+@pytest.mark.slow
+def test_dual_scorer_folders(tmp_path, rng):
+    bb = BackboneConfig(kind="resnet50_clip", image_size=64,
+                        compute_dtype="float32")
+    gcfg = GlobalModelConfig(backbone=bb, head="stages_cnn", depth=3)
+    lcfg = LocalModelConfig(backbone=bb)
+    z = jnp.zeros((1, 64, 64, 3))
+    gvars = make_global_model(gcfg).init(rng, z, z)
+    lvars = make_local_model(lcfg).init(jax.random.PRNGKey(1), z, z, train=False)
+
+    gt = tmp_path / "HQ"
+    sr = tmp_path / "sr_out"
+    gt.mkdir()
+    sr.mkdir()
+    r = np.random.default_rng(0)
+    for i in range(3):
+        arr = r.integers(0, 255, (80, 80, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(gt / f"{i}.jpg")
+        Image.fromarray(np.clip(arr + 10, 0, 255).astype(np.uint8)).save(
+            sr / f"{i}.png")
+    # corrupt SR image → NaN row
+    open(sr / "3.png", "wb").write(b"junk")
+    Image.fromarray(r.integers(0, 255, (80, 80, 3), dtype=np.uint8)).save(
+        gt / "3.jpg")
+
+    scorer = DualScorer(gcfg, lcfg, gvars, lvars, batch_size=2)
+    df = scorer.score_folders(str(gt), str(sr))
+    assert len(df) == 4
+    assert df["score"].notna().sum() == 3
+    assert np.isnan(df[df.image == "3"]["score"].iloc[0])
+    ok = df[df.image != "3"]
+    assert (ok["map_mean"] >= 0.5 - 1e-6).all()  # sigmoid-after-ReLU range
+    assert (ok["score"] >= 0).all()
+
+
+def test_dual_scorer_rejects_mismatched_backbones(rng):
+    gcfg = GlobalModelConfig(
+        backbone=BackboneConfig(kind="resnet50", image_size=64,
+                                compute_dtype="float32"))
+    lcfg = LocalModelConfig(
+        backbone=BackboneConfig(kind="resnet50_clip", image_size=64,
+                                compute_dtype="float32"))
+    with pytest.raises(ValueError):
+        DualScorer(gcfg, lcfg, {}, {})
