@@ -77,14 +77,26 @@ class Loader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # Bounded put that notices consumer abandonment (early break
+            # from the iterator) instead of blocking forever.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                 for idxs in batches:
                     if stop.is_set():
                         return
                     samples = list(pool.map(self.dataset.__getitem__, idxs))
-                    q.put(pad_batch(collate(samples), self.batch_size))
-                q.put(None)
+                    if not put(pad_batch(collate(samples), self.batch_size)):
+                        return
+                put(None)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
