@@ -61,10 +61,12 @@ _head_init = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"
 
 
 def stage_taps_for(kind: str, depth: int) -> Tuple[str, ...]:
-    """The ``depth`` deepest per-stage taps (reference wanted_layers,
-    models/global_eval_models.py:327,701)."""
+    """The ``depth + 1`` deepest per-stage taps — the reference's
+    ``range(3-depth, 4)`` / ``range(4-depth, 5)`` includes the last stage
+    plus ``depth`` more (reference: models/global_eval_models.py:327,701),
+    so depth∈{1,2,3} taps 2..4 stages."""
     names = CLIP_STAGE_TAPS if kind == "resnet50_clip" else IMAGENET_STAGE_TAPS
-    return names[4 - depth:]
+    return names[3 - depth:]
 
 
 def wperlay_taps(depth: int) -> Tuple[str, ...]:

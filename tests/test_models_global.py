@@ -52,37 +52,40 @@ def test_scores_nonnegative_and_batch_shaped(rng):
 
 
 def test_tap_selection_matches_reference_wanted_layers():
-    # reference: models/global_eval_models.py:327 — stages.{3-depth..3}.2.act
-    assert stage_taps_for("resnet50_clip", 1) == ("stages.3.2.act",)
+    # reference: models/global_eval_models.py:327 — range(3-depth, 4) is
+    # depth+1 stages: depth=1 → stages 2,3.
+    assert stage_taps_for("resnet50_clip", 1) == (
+        "stages.2.2.act", "stages.3.2.act")
     assert stage_taps_for("resnet50_clip", 3) == (
-        "stages.1.2.act", "stages.2.2.act", "stages.3.2.act")
-    # reference: models/global_eval_models.py:701 — layer{4-depth..4}.2.act3
-    assert stage_taps_for("resnet50", 2) == ("layer3.2.act3", "layer4.2.act3")
+        "stages.0.2.act", "stages.1.2.act", "stages.2.2.act", "stages.3.2.act")
+    # reference: models/global_eval_models.py:701 — range(4-depth, 5).
+    assert stage_taps_for("resnet50", 2) == (
+        "layer2.2.act3", "layer3.2.act3", "layer4.2.act3")
     # reference: models/global_eval_models.py:832-833 — last depth+1 of 12
     assert wperlay_taps(1) == ("stages.3.1.act", "stages.3.2.act")
     assert len(wperlay_taps(11)) == 12
 
 
 def test_head_param_shapes_match_reference_conv_heads(rng):
-    """stages_cnn heads are 1x1 convs Conv2d(256·2^s, 1)
-    (reference: models/global_eval_models.py:336)."""
+    """stages_cnn heads are 1x1 convs Conv2d(256·2^s, 1) for s in
+    range(3-depth, 4) (reference: models/global_eval_models.py:336)."""
     model, _ = _make("stages_cnn", depth=3)
     x = jnp.zeros((1, 64, 64, 3))
     vs = model.init(rng, x, x)
     agg = vs["params"]["aggregator"]
     shapes = {k: v["kernel"].shape for k, v in agg.items()}
-    assert shapes == {"w_layers.0": (512, 1), "w_layers.1": (1024, 1),
-                      "w_layers.2": (2048, 1)}
+    assert shapes == {"w_layers.0": (256, 1), "w_layers.1": (512, 1),
+                      "w_layers.2": (1024, 1), "w_layers.3": (2048, 1)}
 
 
 def test_pooling_head_input_dim(rng):
-    """MLP input = Σ 256·2^s · 2 over tapped stages
+    """MLP input = Σ 256·2^s · 2 over the depth+1 tapped stages
     (reference: models/global_eval_models.py:459)."""
     model, _ = _make("stages_cnn_pooling", depth=2)
     x = jnp.zeros((1, 64, 64, 3))
     vs = model.init(rng, x, x)
     k = vs["params"]["aggregator"]["fin_lin.0"]["kernel"]
-    assert k.shape == ((1024 + 2048) * 2, 2056)
+    assert k.shape == ((512 + 1024 + 2048) * 2, 2056)
 
 
 def test_emb_lin_uses_embeddings_only(rng):

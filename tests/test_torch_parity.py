@@ -298,3 +298,82 @@ def test_clip_vit_matches_torch(np_rng):
     np.testing.assert_allclose(np.asarray(taps["blocks.2.ls2"]),
                                t_taps["blocks.2.ls2"].numpy(),
                                rtol=1e-4, atol=1e-4)
+
+
+class TorchStagesCnnHead(tnn.Module):
+    """The reference's per-stage scoring head + aggregation
+    (models/global_eval_models.py:336,379-395), over the CLIP mirror."""
+
+    def __init__(self, backbone, depth=3):
+        super().__init__()
+        self.backbone = backbone
+        self.depth = depth
+        # reference: range(3-depth, 4) → depth+1 heads
+        self.w_layers = tnn.ModuleList(
+            [tnn.Conv2d(256 * (2 ** s), 1, kernel_size=1)
+             for s in range(3 - depth, 4)])
+
+    def forward(self, a, b):
+        with torch.no_grad():
+            _, taps_a = self.backbone(a)
+            _, taps_b = self.backbone(b)
+        names = [f"stages.{s}.2.act" for s in range(3 - self.depth, 4)]
+        scores = []
+        for conv, name in zip(self.w_layers, names):
+            diff = (taps_a[name] - taps_b[name]) ** 2
+            w = conv(diff).squeeze(1)
+            scores.append(w.mean(dim=(-1, -2)))
+        s = torch.stack(scores).mean(dim=0)
+        return torch.relu(s)
+
+
+def test_full_global_scoring_pipeline_matches_torch(np_rng):
+    """End-to-end score parity: backbone → squared diffs → 1x1-conv heads →
+    spatial/layer mean → ReLU. This is the path the SRCC-within-0.005
+    north star rides on (BASELINE.md)."""
+    from srsem.core.config import BackboneConfig, GlobalModelConfig
+    from srsem.models.global_models import make_global_model
+    from flax import traverse_util
+
+    depth = 3
+    tbb = TorchClipResNet50(image_size=64).eval()
+    _randomize_bn(tbb)
+    tmodel = TorchStagesCnnHead(tbb, depth=depth).eval()
+
+    cfg = GlobalModelConfig(
+        backbone=BackboneConfig(kind="resnet50_clip", image_size=64,
+                                compute_dtype="float32"),
+        head="stages_cnn", depth=depth)
+    jmodel = make_global_model(cfg)
+
+    backbone_params = convert_clip_resnet50(tbb.state_dict(), image_size=64)
+    head_flat = {}
+    for j, conv in enumerate(tmodel.w_layers):
+        head_flat[(f"w_layers.{j}", "kernel")] = (
+            conv.weight.detach().numpy().transpose(2, 3, 1, 0).reshape(-1, 1))
+        head_flat[(f"w_layers.{j}", "bias")] = conv.bias.detach().numpy()
+    params = {"backbone": backbone_params,
+              "aggregator": traverse_util.unflatten_dict(head_flat)}
+
+    a = np_rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    b = (a + 0.3 * np_rng.standard_normal(a.shape)).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(_nchw(a), _nchw(b)).numpy()
+    got = np.asarray(jmodel.apply({"params": params}, a, b))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    # The Pallas fused path must agree with both.
+    from srsem.backbones.resnet import ClipResNet50
+    from srsem.models.global_models import stage_taps_for
+    from srsem.ops.fused_head import fused_global_score
+
+    jbb = ClipResNet50(dtype=np.float32, image_size=64)
+    import jax.numpy as jnp
+
+    _, taps = jbb.apply({"params": backbone_params},
+                        jnp.concatenate([a, b], axis=0))
+    names = stage_taps_for("resnet50_clip", depth)
+    fused = np.asarray(fused_global_score(
+        {k: taps[k][:2] for k in names}, {k: taps[k][2:] for k in names},
+        params["aggregator"], names, interpret=True))
+    np.testing.assert_allclose(fused, want, rtol=1e-4, atol=1e-4)
