@@ -129,6 +129,33 @@ def cmd_train_clu(args) -> int:
     return 0
 
 
+def cmd_sweep_global(args) -> int:
+    from srsem.train.sweep import GLOBAL_SWEEP, make_global_train_fn, run_sweep
+
+    results = run_sweep(
+        make_global_train_fn(args.csv, args.root, backbone=args.backbone),
+        GLOBAL_SWEEP, summary_path=args.summary)
+    print(json.dumps([{"name": r["name"],
+                       "val_srcc": r.get("srcc"),
+                       "val_mse": r.get("mse")} for r in results]))
+    return 0
+
+
+def cmd_sweep_clu(args) -> int:
+    from srsem.train.sweep import CLU_SWEEP, make_clu_train_fn, run_sweep
+
+    axes = dict(CLU_SWEEP)
+    if args.limit_axis:
+        # e.g. --limit-axis lora_rank=None restricts an axis for quick runs
+        for spec in args.limit_axis:
+            key, _, raw = spec.partition("=")
+            axes[key] = [ast.literal_eval(raw) if raw != "None" else None]
+    results = run_sweep(make_clu_train_fn(args.csv), axes,
+                        summary_path=args.summary)
+    print(json.dumps({"points": len(results)}))
+    return 0
+
+
 def cmd_pseudo_c2c(args) -> int:
     import os
 
@@ -307,6 +334,19 @@ def main(argv=None) -> int:
     p.add_argument("--set", action="append", default=[])
     p.add_argument("--train-set", action="append", default=[])
     p.set_defaults(fn=cmd_train_clu)
+
+    p = sub.add_parser("sweep-global")
+    p.add_argument("csv")
+    p.add_argument("root")
+    p.add_argument("--backbone", default="resnet50_clip")
+    p.add_argument("--summary", default="sweep_global.jsonl")
+    p.set_defaults(fn=cmd_sweep_global)
+
+    p = sub.add_parser("sweep-clu")
+    p.add_argument("csv")
+    p.add_argument("--summary", default="sweep_clu.jsonl")
+    p.add_argument("--limit-axis", action="append", default=[])
+    p.set_defaults(fn=cmd_sweep_clu)
 
     p = sub.add_parser("pseudo-c2c")
     p.add_argument("root")

@@ -101,14 +101,22 @@ class CluUnet(nn.Module):
     def setup(self):
         rank = self.lora_rank if isinstance(self.lora_rank, int) else None
         if self.backbone_kind == "resnet50_clip":
-            self.backbone = ClipResNet50(
-                lora_rank=rank, dtype=self.compute_dtype, image_size=self.image_size)
+            cls, kwargs = ClipResNet50, dict(
+                lora_rank=rank, dtype=self.compute_dtype,
+                image_size=self.image_size)
             self.tap_names = (CLIP_STEM_TAP,) + CLIP_STAGE_TAPS
         elif self.backbone_kind == "resnet50":
-            self.backbone = ImageNetResNet50(lora_rank=rank, dtype=self.compute_dtype)
+            cls, kwargs = ImageNetResNet50, dict(
+                lora_rank=rank, dtype=self.compute_dtype)
             self.tap_names = (IMAGENET_STEM_TAP,) + IMAGENET_STAGE_TAPS
         else:
             raise ValueError(f"unsupported CLU backbone {self.backbone_kind!r}")
+        if self.lora_rank == "full":
+            # Full fine-tune backprops through the tower; rematerialize its
+            # activations instead of storing them (HBM for FLOPs —
+            # jax.checkpoint via nn.remat).
+            cls = nn.remat(cls)
+        self.backbone = cls(**kwargs)
 
         # Block lvl consumes concat(diff[lvl], upsampled block lvl+1 output)
         # and emits ch[lvl] channels; the shallowest block emits the 1-channel

@@ -47,6 +47,70 @@ def grid_points(axes: Mapping[str, Sequence[Any]]) -> Iterable[Dict[str, Any]]:
         yield dict(zip(keys, values))
 
 
+def make_global_train_fn(csv_path: str, root: str, base_tcfg=None,
+                         backbone: str = "resnet50_clip"):
+    """Grid point {depth} → one global-regressor training run
+    (reference: CLIPLPIPS_REG_training_sweep_example.py:118-199)."""
+
+    def train_fn(point):
+        from srsem.core.config import (BackboneConfig, GlobalModelConfig,
+                                       TrainConfig)
+        from srsem.data.datasets import Subset, UserStudyScores, seeded_split
+        from srsem.data.loader import Loader
+        from srsem.data.preprocess import Preprocess
+        from srsem.train.loop import train_global
+
+        tcfg = base_tcfg or TrainConfig()
+        cfg = GlobalModelConfig(backbone=BackboneConfig(kind=backbone),
+                                head="stages_cnn", depth=point["depth"])
+        pre = Preprocess.for_backbone(backbone, cfg.backbone.image_size)
+        ds = UserStudyScores(csv_path, root, pre)
+        tr, va = seeded_split(len(ds), tcfg.val_fraction, tcfg.seed)
+        result = train_global(
+            cfg, tcfg,
+            Loader(Subset(ds, tr), tcfg.batch_size, shuffle=True, seed=tcfg.seed),
+            Loader(Subset(ds, va), tcfg.batch_size))
+        return result.val_metrics
+
+    return train_fn
+
+
+def make_clu_train_fn(csv_path: str, base_tcfg=None):
+    """Grid point {imgamincaps, only_hq, lora_rank, threshold,
+    backbone_kind} → one CLU training run
+    (reference: CLU_training_sweep_example.py:92-180)."""
+
+    def train_fn(point):
+        import dataclasses
+
+        from srsem.core.config import (BackboneConfig, LocalModelConfig,
+                                       TrainConfig)
+        from srsem.data.datasets import (KoniqPairsMapsDataset, Subset,
+                                         seeded_split)
+        from srsem.data.loader import Loader
+        from srsem.data.preprocess import Preprocess
+        from srsem.train.loop import train_local
+
+        tcfg = base_tcfg or TrainConfig(batch_size=80, epochs=60)
+        tcfg = dataclasses.replace(tcfg, map_threshold=point["threshold"])
+        cfg = LocalModelConfig(
+            backbone=BackboneConfig(kind=point["backbone_kind"]),
+            lora_rank=point["lora_rank"])
+        pre = Preprocess.for_backbone(point["backbone_kind"],
+                                      cfg.backbone.image_size)
+        ds = KoniqPairsMapsDataset(
+            csv_path, pre, only_hq=point["only_hq"],
+            imgamincaps=point["imgamincaps"], threshold=point["threshold"])
+        tr, va = seeded_split(len(ds), tcfg.val_fraction, tcfg.seed)
+        result = train_local(
+            cfg, tcfg,
+            Loader(Subset(ds, tr), tcfg.batch_size, shuffle=True, seed=tcfg.seed),
+            Loader(Subset(ds, va), tcfg.batch_size))
+        return result.val_metrics
+
+    return train_fn
+
+
 def run_sweep(
     train_fn: Callable[[Dict[str, Any]], Mapping[str, Any]],
     axes: Mapping[str, Sequence[Any]],
