@@ -44,7 +44,9 @@ class DualScorer:
         if global_cfg.backbone.kind != local_cfg.backbone.kind:
             raise ValueError("global/local backbones must match to share taps")
         self.mesh = mesh or create_mesh()
-        self.batch_size = batch_size
+        # The batch dim shards over `data`; round up so it divides evenly.
+        n_data = self.mesh.shape["data"]
+        self.batch_size = ((batch_size + n_data - 1) // n_data) * n_data
         self.num_workers = num_workers
         self.decode_backend = decode_backend
         self.preprocess = Preprocess.for_backbone(

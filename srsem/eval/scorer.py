@@ -49,7 +49,9 @@ class PairScorer:
     ):
         self.cfg = cfg
         self.mesh = mesh or create_mesh()
-        self.batch_size = batch_size
+        # The batch dim shards over `data`; round up so it divides evenly.
+        n_data = self.mesh.shape["data"]
+        self.batch_size = ((batch_size + n_data - 1) // n_data) * n_data
         self.model_kind = model_kind
         self.num_workers = num_workers
         self.decode_backend = decode_backend

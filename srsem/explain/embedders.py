@@ -104,15 +104,20 @@ class EmbedderSuite:
 
 class RamProjector:
     """RAM-tag-driven embedding reconstruction
-    (reference: additional_approaches/src/ram/model_wrapper.py:39-64):
+    (reference: additional_approaches/src/ram/model_wrapper.py:34-64):
     embed the image's tags, weight each tag embedding by its normalized dot
-    product with the image embedding, return the weighted sum."""
+    product with the image embedding, return the weighted sum.  The
+    reference normalizes the concept matrix along dim=0 — per embedding
+    *dimension*, not per concept (sic, :50) — reproduced for parity.
+    ``ret_concepts`` also returns the tag list (:36,:60-63)."""
 
     def __init__(self, tagger: Callable[[object], Sequence[str]],
-                 encode_image: Callable, encode_text: Callable):
+                 encode_image: Callable, encode_text: Callable,
+                 ret_concepts: bool = False):
         self.tagger = tagger  # image → list of tag strings (pluggable RAM++)
         self.encode_image = encode_image
         self.encode_text = encode_text
+        self.ret_concepts = ret_concepts
 
     def tags(self, image) -> Sequence[str]:
         return self.tagger(image)
@@ -121,6 +126,8 @@ class RamProjector:
         tags = list(self.tagger(image))
         img_emb = jnp.asarray(self.encode_image(pixels)).reshape(-1)
         tag_embs = jnp.asarray(self.encode_text(tags))
+        tag_embs = tag_embs / jnp.linalg.norm(tag_embs, axis=0).clip(1e-12)
         dots = tag_embs @ img_emb
         weights = dots / jnp.sum(dots).clip(1e-12)
-        return jnp.sum(tag_embs * weights[:, None], axis=0)
+        rec = jnp.sum(tag_embs * weights[:, None], axis=0)
+        return (rec, tags) if self.ret_concepts else rec

@@ -52,15 +52,19 @@ def _tile_rows(hw: int, c: int, itemsize: int) -> int:
 
 
 def _kernel(fa_ref, fb_ref, w_ref, out_ref):
+    # out_ref is the WHOLE (N,) accumulator in SMEM — scalar outputs can't
+    # satisfy the (8, 128) VMEM tiling constraint, so we index it by
+    # program id instead of blocking it.
+    i = pl.program_id(0)
     t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _init():
-        out_ref[...] = jnp.zeros_like(out_ref)
+        out_ref[i] = 0.0
 
     d = fa_ref[...].astype(jnp.float32) - fb_ref[...].astype(jnp.float32)
     partial_sum = jnp.sum(d * d * w_ref[...].astype(jnp.float32))
-    out_ref[0, 0] += partial_sum
+    out_ref[i] += partial_sum
 
 
 def _on_tpu() -> bool:
@@ -81,7 +85,7 @@ def fused_stage_score(fa: Array, fb: Array, w: Array, b: Array,
 
     sums = pl.pallas_call(
         _kernel,
-        out_shape=jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n,), jnp.float32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, t, c), lambda i, j: (i, j, 0),
@@ -91,11 +95,10 @@ def fused_stage_score(fa: Array, fb: Array, w: Array, b: Array,
             pl.BlockSpec((1, c), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1), lambda i, j: (i, 0),
-                               memory_space=pltpu.SMEM),
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         interpret=interpret,
     )(fa2, fb2, w.reshape(1, c))
-    return sums[:, 0] / hw + b
+    return sums / hw + b
 
 
 def fused_global_score(

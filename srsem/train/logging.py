@@ -52,6 +52,25 @@ class MultiWriter:
             w.close()
 
 
+class WandbWriter:
+    """Optional wandb adapter — the reference logs through wandb
+    (reference: CLIPLPIPS_REG_training_sweep_example.py:74-98).  Import is
+    deferred so the framework has no hard wandb dependency."""
+
+    def __init__(self, project: str, name: Optional[str] = None,
+                 config: Optional[Dict] = None):
+        import wandb  # noqa: F401 — gated optional dependency
+
+        self._wandb = wandb
+        self.run = wandb.init(project=project, name=name, config=config or {})
+
+    def write(self, step: int, metrics: Dict[str, float]) -> None:
+        self._wandb.log(metrics, step=step)
+
+    def close(self) -> None:
+        self._wandb.finish()
+
+
 def default_writer(jsonl_path: Optional[str] = None, prefix: str = ""):
     if jsonl_path:
         return MultiWriter(StdoutWriter(prefix), JsonlWriter(jsonl_path))

@@ -92,3 +92,38 @@ def test_hashing_embedder_deterministic_and_normalized():
     v2 = e.encode(["hello world"])
     np.testing.assert_array_equal(v1, v2)
     assert np.linalg.norm(v1[0]) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_score_c2i_and_embed_folder(tmp_path):
+    """C2I: image-folder embedding + caption cosine (BASELINE config #2),
+    using a stub image tower so no weights are needed."""
+    from PIL import Image
+
+    from srsem.data.preprocess import Preprocess
+    from srsem.pseudo.scoring import embed_image_folder, score_c2i
+
+    rng = np.random.default_rng(0)
+    folder = tmp_path / "imgs"
+    folder.mkdir()
+    for i in range(3):
+        Image.fromarray(
+            rng.integers(0, 255, (20, 20, 3), dtype=np.uint8)).save(
+            folder / f"{i}.jpg")
+    open(folder / "bad.png", "wb").write(b"junk")
+
+    class StubEncoder:
+        def encode_image(self, batch):
+            # mean-pool pixels into a fake 8-d embedding
+            x = np.asarray(batch, np.float32).reshape(batch.shape[0], -1)
+            return x[:, :8] + 1.0
+
+    pre = Preprocess(size=16, crop_pct=1.0)
+    embs = embed_image_folder(StubEncoder(), str(folder), pre, batch_size=2)
+    assert set(embs) == {"0", "1", "2", "bad"}
+    assert np.isnan(embs["bad"]).all()
+    assert embs["0"].shape == (8,)
+
+    caps = {"0": "a photo", "1": "a photo", "2": "other thing"}
+    scores = score_c2i(caps, embs, HashingTextEmbedder(dim=8))
+    assert set(scores) == {"0", "1", "2"}
+    assert all(-1.001 <= v <= 1.001 for v in scores.values())
