@@ -80,6 +80,34 @@ def main() -> None:
     headline = _throughput(score_global, (gvars, a_u8, b_u8), batch, 30)
     note("global_dense", headline)
 
+    # --- secondary: batch scaling + 512px (BASELINE config #1 is a 512px
+    # pair) ---------------------------------------------------------------
+    try:
+        big = 256
+        a_big = jax.device_put(
+            host.integers(0, 256, (big, size, size, 3), dtype=np.uint8), data)
+        b_big = jax.device_put(
+            host.integers(0, 256, (big, size, size, 3), dtype=np.uint8), data)
+        t = _throughput(score_global, (gvars, a_big, b_big), big, 15)
+        note("global_dense_b256", t)
+        if t > headline:
+            headline = t
+    except Exception as e:
+        print(json.dumps({"bench": "global_dense_b256", "error": str(e)[:200]}),
+              file=sys.stderr, flush=True)
+
+    try:
+        hp = 512
+        a5 = jax.device_put(
+            host.integers(0, 256, (32, hp, hp, 3), dtype=np.uint8), data)
+        b5 = jax.device_put(
+            host.integers(0, 256, (32, hp, hp, 3), dtype=np.uint8), data)
+        note("global_dense_512px",
+             _throughput(score_global, (gvars, a5, b5), 32, 10))
+    except Exception as e:
+        print(json.dumps({"bench": "global_dense_512px", "error": str(e)[:200]}),
+              file=sys.stderr, flush=True)
+
     # --- secondary: Pallas fused-head path -------------------------------
     try:
         from srsem.backbones.resnet import make_backbone

@@ -42,6 +42,10 @@ class Preprocess:
         if kind in ("resnet50_clip", "vit_clip"):
             return Preprocess(size=size, crop_pct=1.0, mean=CLIP_MEAN, std=CLIP_STD)
         if kind == "resnet50":
+            # Classic ImageNet eval crop_pct.  Note: timm's current default
+            # resnet50 weights (a1_in1k) resolve crop_pct 0.95 — when
+            # loading those exact weights, construct
+            # Preprocess(crop_pct=0.95, ...) to match their eval protocol.
             return Preprocess(size=size, crop_pct=0.875,
                               mean=IMAGENET_MEAN, std=IMAGENET_STD)
         raise ValueError(f"unknown backbone kind {kind!r}")

@@ -208,5 +208,16 @@ class GlobalPairScorer(nn.Module):
         return self.aggregator(diffs)
 
 
-def make_global_model(cfg: GlobalModelConfig) -> GlobalPairScorer:
+def make_global_model(cfg: GlobalModelConfig):
+    if cfg.head == "unet_global":
+        # The reference's global CLIP_lpips_Unet copy — the CLU decoder
+        # without the final sigmoid, emitting a raw map
+        # (reference: models/global_eval_models.py:921-1068).
+        from srsem.models.local_models import CluUnet
+
+        return CluUnet(
+            backbone_kind=cfg.backbone.kind,
+            compute_dtype=jnp.dtype(cfg.backbone.compute_dtype),
+            image_size=cfg.backbone.image_size,
+            sigmoid=False)
     return GlobalPairScorer(cfg)

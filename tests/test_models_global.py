@@ -119,3 +119,22 @@ def test_frozen_backbone_gets_no_gradient(rng):
         float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads["aggregator"]))
     assert backbone_norm == 0.0
     assert head_norm > 0.0
+
+
+def test_unet_global_head_returns_unbounded_map(rng):
+    """The reference's global CLIP_lpips_Unet copy has NO final sigmoid
+    (models/global_eval_models.py:921-1068)."""
+    import jax
+
+    cfg = GlobalModelConfig(
+        backbone=BackboneConfig(kind="resnet50_clip", image_size=64,
+                                compute_dtype="float32"),
+        head="unet_global")
+    model = make_global_model(cfg)
+    a = jax.random.uniform(rng, (1, 64, 64, 3))
+    b = jax.random.uniform(jax.random.PRNGKey(9), (1, 64, 64, 3))
+    vs = model.init(rng, a, b)
+    out = model.apply(vs, a, b)
+    assert out.shape == (1, 64, 64)
+    # ReLU output without sigmoid → values can exceed 1
+    assert float(out.min()) >= 0.0
