@@ -85,10 +85,54 @@ def resize_bilinear(
     return xf.astype(dtype)
 
 
-def upsample_x2_align_corners(x: Array) -> Array:
-    """The UNet's ×2 upsampler — torch ``nn.UpsamplingBilinear2d(2)``
-    (align_corners=True) (reference: models/local_eval_models.py:84,124)."""
+def _resize_matrix(out_size: int, in_size: int, align_corners: bool) -> Array:
+    """Dense (out, in) interpolation matrix for one axis.  Bilinear resize
+    then becomes two einsums — matmuls that ride the MXU instead of the
+    gather path (useful inside big fused programs like the CLU decoder)."""
+    import numpy as np
+
+    # Pure-numpy so the matrix is a compile-time constant under jit
+    # (the jnp-based _axis_weights would produce tracers while tracing).
+    idx = np.arange(out_size, dtype=np.float64)
+    if align_corners:
+        scale = (in_size - 1) / (out_size - 1) if out_size > 1 else 0.0
+        coords = idx * scale
+    else:
+        coords = np.clip((idx + 0.5) * (in_size / out_size) - 0.5,
+                         0.0, in_size - 1)
+    lo = np.clip(np.floor(coords).astype(np.int64), 0, in_size - 1)
+    hi = np.clip(lo + 1, 0, in_size - 1)
+    frac = coords - lo
+    mat = np.zeros((out_size, in_size), np.float32)
+    rows = np.arange(out_size)
+    np.add.at(mat, (rows, lo), 1.0 - frac)
+    np.add.at(mat, (rows, hi), frac)
+    return jnp.asarray(mat)
+
+
+def resize_bilinear_mxu(x: Array, out_hw: Tuple[int, int],
+                        align_corners: bool = False) -> Array:
+    """Matmul formulation of ``resize_bilinear`` (numerically identical):
+    y = W_h · x · W_wᵀ per channel.  NHWC only."""
+    out_h, out_w = out_hw
     n, h, w, c = x.shape
+    if (h, w) == (out_h, out_w):
+        return x
+    wh = _resize_matrix(out_h, h, align_corners)
+    ww = _resize_matrix(out_w, w, align_corners)
+    dtype = x.dtype
+    y = jnp.einsum("oh,nhwc->nowc", wh, x.astype(jnp.float32))
+    y = jnp.einsum("pw,nowc->nopc", ww, y)
+    return y.astype(dtype)
+
+
+def upsample_x2_align_corners(x: Array, use_mxu: bool = True) -> Array:
+    """The UNet's ×2 upsampler — torch ``nn.UpsamplingBilinear2d(2)``
+    (align_corners=True) (reference: models/local_eval_models.py:84,124).
+    Defaults to the matmul formulation (MXU) inside jitted decoders."""
+    n, h, w, c = x.shape
+    if use_mxu:
+        return resize_bilinear_mxu(x, (2 * h, 2 * w), align_corners=True)
     return resize_bilinear(x, (2 * h, 2 * w), align_corners=True)
 
 

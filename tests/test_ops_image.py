@@ -53,3 +53,20 @@ def test_normalize():
     x = np.full((1, 2, 2, 3), 0.5, np.float32)
     y = np.asarray(normalize(x, (0.5, 0.5, 0.5), (0.25, 0.5, 1.0)))
     np.testing.assert_allclose(y, 0.0, atol=1e-7)
+
+
+def test_mxu_resize_matches_gather_resize(np_rng):
+    """The matmul (MXU) formulation must be numerically identical to the
+    gather formulation for both alignment conventions."""
+    import jax
+
+    from srsem.ops.image import resize_bilinear_mxu
+
+    x = np_rng.standard_normal((2, 7, 9, 5)).astype(np.float32)
+    for ac in (True, False):
+        for hw in ((14, 18), (5, 4), (21, 27)):
+            a = np.asarray(resize_bilinear(x, hw, align_corners=ac))
+            b = np.asarray(jax.jit(
+                lambda v, hw=hw, ac=ac: resize_bilinear_mxu(
+                    v, hw, align_corners=ac))(x))
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
