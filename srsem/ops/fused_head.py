@@ -51,46 +51,63 @@ def _tile_rows(hw: int, c: int, itemsize: int) -> int:
     return best
 
 
-def _kernel(fa_ref, fb_ref, w_ref, out_ref):
-    # out_ref is the WHOLE (N,) accumulator in SMEM — scalar outputs can't
-    # satisfy the (8, 128) VMEM tiling constraint, so we index it by
-    # program id instead of blocking it.
-    i = pl.program_id(0)
-    t = pl.program_id(1)
+def _make_kernel(images_per_block: int):
+    def kernel(fa_ref, fb_ref, w_ref, out_ref):
+        # out_ref is the WHOLE (N,) accumulator in SMEM — scalar outputs
+        # can't satisfy the (8, 128) VMEM tiling constraint, so we index it
+        # by program id instead of blocking it.  Each program reduces
+        # ``images_per_block`` images over one spatial tile.
+        i = pl.program_id(0)
+        t = pl.program_id(1)
+        d = fa_ref[...].astype(jnp.float32) - fb_ref[...].astype(jnp.float32)
+        partial = jnp.sum(d * d * w_ref[...].astype(jnp.float32), axis=(1, 2))
+        base = i * images_per_block
+        for k in range(images_per_block):
 
-    @pl.when(t == 0)
-    def _init():
-        out_ref[i] = 0.0
+            @pl.when(t == 0)
+            def _init(k=k):
+                out_ref[base + k] = 0.0
 
-    d = fa_ref[...].astype(jnp.float32) - fb_ref[...].astype(jnp.float32)
-    partial_sum = jnp.sum(d * d * w_ref[...].astype(jnp.float32))
-    out_ref[i] += partial_sum
+            out_ref[base + k] += partial[k]
+
+    return kernel
 
 
 def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("interpret", "images_per_block"))
 def fused_stage_score(fa: Array, fb: Array, w: Array, b: Array,
-                      interpret: bool = False) -> Array:
+                      interpret: bool = False,
+                      images_per_block: int = 8) -> Array:
     """(N, H, W, C) feature pair + head (C,), bias scalar → (N,) scores
-    ``mean_hw((fa-fb)^2·w) + b``."""
+    ``mean_hw((fa-fb)^2·w) + b``.
+
+    Blocks are (images_per_block, T, C): fewer, larger grid steps give the
+    pipeline bigger DMAs to overlap.  N is zero-padded up to a block
+    multiple (padded rows read fa=fb=0 → contribute nothing)."""
     n, h, wd, c = fa.shape
     hw = h * wd
+    ib = min(images_per_block, max(1, n))
+    n_pad = ((n + ib - 1) // ib) * ib
     fa2 = fa.reshape(n, hw, c)
     fb2 = fb.reshape(n, hw, c)
-    t = _tile_rows(hw, c, fa2.dtype.itemsize)
-    grid = (n, hw // t)
+    if n_pad != n:
+        pad = ((0, n_pad - n), (0, 0), (0, 0))
+        fa2 = jnp.pad(fa2, pad)
+        fb2 = jnp.pad(fb2, pad)
+    t = _tile_rows(hw, c, fa2.dtype.itemsize * ib)
+    grid = (n_pad // ib, hw // t)
 
     sums = pl.pallas_call(
-        _kernel,
-        out_shape=jax.ShapeDtypeStruct((n,), jnp.float32),
+        _make_kernel(ib),
+        out_shape=jax.ShapeDtypeStruct((n_pad,), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, t, c), lambda i, j: (i, j, 0),
+            pl.BlockSpec((ib, t, c), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, c), lambda i, j: (i, j, 0),
+            pl.BlockSpec((ib, t, c), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -98,7 +115,7 @@ def fused_stage_score(fa: Array, fb: Array, w: Array, b: Array,
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         interpret=interpret,
     )(fa2, fb2, w.reshape(1, c))
-    return sums / hw + b
+    return sums[:n] / hw + b
 
 
 def fused_global_score(
