@@ -51,7 +51,7 @@ from srsem.backbones.resnet import (
     ImageNetResNet50,
 )
 from srsem.core.config import LocalModelConfig
-from srsem.ops.image import resize_bilinear, upsample_x2_align_corners
+from srsem.ops.image import resize_bilinear_mxu, upsample_x2_align_corners
 
 Array = jax.Array
 
@@ -159,7 +159,7 @@ class CluUnet(nn.Module):
                 axis=-1, keepdims=True)
             diffs = [
                 jnp.concatenate(
-                    [d, resize_bilinear(img_sq, d.shape[1:3], align_corners=False)],
+                    [d, resize_bilinear_mxu(img_sq, d.shape[1:3], align_corners=False)],
                     axis=-1)
                 for d in diffs
             ]
