@@ -80,13 +80,16 @@ def _on_tpu() -> bool:
 @partial(jax.jit, static_argnames=("interpret", "images_per_block"))
 def fused_stage_score(fa: Array, fb: Array, w: Array, b: Array,
                       interpret: bool = False,
-                      images_per_block: int = 8) -> Array:
+                      images_per_block: int = 1) -> Array:
     """(N, H, W, C) feature pair + head (C,), bias scalar → (N,) scores
     ``mean_hw((fa-fb)^2·w) + b``.
 
-    Blocks are (images_per_block, T, C): fewer, larger grid steps give the
-    pipeline bigger DMAs to overlap.  N is zero-padded up to a block
-    multiple (padded rows read fa=fb=0 → contribute nothing)."""
+    Blocks are (images_per_block, T, C).  images_per_block=1 is the
+    TPU-proven configuration; larger blocks cut grid overhead but their
+    dynamic SMEM scalar stores currently crash the Mosaic compiler on the
+    target toolchain (remote-compile HTTP 500) — keep >1 experimental.
+    N is zero-padded up to a block multiple (padded rows read fa=fb=0 →
+    contribute nothing)."""
     n, h, wd, c = fa.shape
     hw = h * wd
     ib = min(images_per_block, max(1, n))
