@@ -160,6 +160,58 @@ def main() -> None:
         print(json.dumps({"bench": "clu_maps", "error": str(e)[:300]}),
               file=sys.stderr, flush=True)
 
+    # --- secondary: dual scoring (global score + CLU map, ONE shared
+    # frozen-tower pass — BASELINE config #5; srsem/eval/dataset_sweep.py).
+    try:
+        from srsem.backbones.resnet import make_backbone
+        from srsem.models.global_models import (ConvHeadAggregator,
+                                                squared_diffs, stage_taps_for)
+
+        ccfg = GlobalModelConfig(
+            backbone=BackboneConfig(kind="resnet50_clip", image_size=size,
+                                    compute_dtype="bfloat16"),
+            head="stages_cnn", depth=3)
+        cbackbone = make_backbone(ccfg.backbone)
+        cnames = stage_taps_for("resnet50_clip", 3)
+        cmodel = make_global_model(ccfg)
+        cvars = jax.device_put(cmodel.init(rng, z, z), repl)
+        lcfg2 = LocalModelConfig(backbone=ccfg.backbone)
+        lmodel2 = make_local_model(lcfg2)
+        lvars2 = jax.device_put(lmodel2.init(rng, z, z, train=False), repl)
+        cpre = Preprocess.for_backbone("resnet50_clip", size)
+
+        def dual(gv, lv, a, b):
+            an = cpre.device_normalize(a)
+            bn = cpre.device_normalize(b)
+            n = an.shape[0]
+            _, taps = cbackbone.apply(
+                {"params": gv["params"]["backbone"]},
+                jnp.concatenate([an, bn], axis=0))
+            taps_a = {k: v[:n] for k, v in taps.items()}
+            taps_b = {k: v[n:] for k, v in taps.items()}
+            diffs = squared_diffs(taps_a, taps_b, cnames)
+            agg = ConvHeadAggregator(len(cnames))
+            scores = agg.apply({"params": gv["params"]["aggregator"]}, diffs)
+            maps = lmodel2.apply(
+                {"params": {**lv["params"],
+                            "backbone": gv["params"]["backbone"]},
+                 "batch_stats": lv["batch_stats"]},
+                an, bn, train=False,
+                method=lambda m, a_, b_, train: m.decode_from_taps(
+                    taps_a, taps_b, a_, b_, train))
+            return scores, maps
+
+        dual_jit = jax.jit(dual)
+        db = 32
+        da = jax.device_put(a_u8[:db], data)
+        dbb = jax.device_put(b_u8[:db], data)
+        note("dual_global_plus_map",
+             _throughput(lambda *args: dual_jit(*args)[0],
+                         (cvars, lvars2, da, dbb), db, 10))
+    except Exception as e:
+        print(json.dumps({"bench": "dual_global_plus_map", "error": str(e)[:300]}),
+              file=sys.stderr, flush=True)
+
     pairs_per_sec_per_chip = headline / n_chips
     print(json.dumps({
         "metric": "global_cliplpips_pairs_per_sec_per_chip",
