@@ -103,7 +103,7 @@ def main() -> None:
         b5 = jax.device_put(
             host.integers(0, 256, (32, hp, hp, 3), dtype=np.uint8), data)
         note("global_dense_512px",
-             _throughput(score_global, (gvars, a5, b5), 32, 10))
+             _throughput(score_global, (gvars, a5, b5), 32, 20))
     except Exception as e:
         print(json.dumps({"bench": "global_dense_512px", "error": str(e)[:200]}),
               file=sys.stderr, flush=True)
@@ -155,7 +155,7 @@ def main() -> None:
             return lmodel.apply(v, lpre.device_normalize(a),
                                 lpre.device_normalize(b), train=False)
 
-        note("clu_maps", _throughput(score_maps, (lvars, la, lb), lbatch, 10))
+        note("clu_maps", _throughput(score_maps, (lvars, la, lb), lbatch, 40))
     except Exception as e:
         print(json.dumps({"bench": "clu_maps", "error": str(e)[:300]}),
               file=sys.stderr, flush=True)
@@ -207,7 +207,7 @@ def main() -> None:
         dbb = jax.device_put(b_u8[:db], data)
         note("dual_global_plus_map",
              _throughput(lambda *args: dual_jit(*args)[0],
-                         (cvars, lvars2, da, dbb), db, 10))
+                         (cvars, lvars2, da, dbb), db, 40))
     except Exception as e:
         print(json.dumps({"bench": "dual_global_plus_map", "error": str(e)[:300]}),
               file=sys.stderr, flush=True)

@@ -58,3 +58,39 @@ def test_dual_scorer_rejects_mismatched_backbones(rng):
                                 compute_dtype="float32"))
     with pytest.raises(ValueError):
         DualScorer(gcfg, lcfg, {}, {})
+
+
+def test_nr_iqa_head_outputs_and_frozen_backbone(rng, tmp_path):
+    """Native KonIQ++-style NR-IQA head: 5 outputs, trainable head only."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from srsem.eval.nr_iqa import OUTPUT_NAMES, NrIqaHead, NrIqaScorer
+
+    model = NrIqaHead(compute_dtype=jnp.float32)
+    x = jax.random.uniform(rng, (2, 64, 64, 3))
+    vs = model.init(rng, x)
+    out = model.apply(vs, x)
+    assert out.shape == (2, 5)
+
+    def loss(p):
+        return jnp.sum(model.apply({"params": p}, x) ** 2)
+
+    g = jax.grad(loss)(vs["params"])
+    backbone_norm = sum(
+        float(jnp.abs(t).sum()) for t in jax.tree.leaves(g["backbone"]))
+    head_norm = sum(
+        float(jnp.abs(t).sum())
+        for k, v in g.items() if k.startswith("head")
+        for t in jax.tree.leaves(v))
+    assert backbone_norm == 0.0 and head_norm > 0.0
+
+    img_path = str(tmp_path / "img.jpg")
+    Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (80, 80, 3),
+                                          dtype=np.uint8)).save(img_path)
+    scorer = NrIqaScorer(vs, image_size=64, compute_dtype="float32")
+    scores = scorer(img_path)
+    assert set(scores) == set(OUTPUT_NAMES)
+    assert all(np.isfinite(v) for v in scores.values())
