@@ -58,10 +58,9 @@ def cmd_score(args) -> int:
     z = jnp.zeros((1, size, size, 3))
     variables = model.init(jax.random.PRNGKey(0), z, z)
     if args.checkpoint:
-        restored = restore_checkpoint(args.checkpoint,
-                                      {"trainable": {}, "opt_state": {},
-                                       "batch_stats": {}})
+        restored = restore_checkpoint(args.checkpoint)  # raw nested dict
         from srsem.train.partition import merge_params
+
         variables = {"params": merge_params(
             restored["trainable"], variables["params"])}
 

@@ -41,16 +41,21 @@ def latest_step(directory: str) -> Optional[int]:
         return int(json.load(f)["step"])
 
 
-def restore_checkpoint(directory: str, target: Dict[str, Any],
+def restore_checkpoint(directory: str, target: Optional[Dict[str, Any]] = None,
                        step: Optional[int] = None) -> Dict[str, Any]:
-    """Restore into the structure of ``target`` (used as the pytree spec)."""
+    """Restore a checkpoint.  With ``target`` the bytes are validated
+    against its pytree structure; without one the raw nested dict is
+    returned (useful to pull just the trainable subtree)."""
     if step is None:
         step = latest_step(directory)
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {directory}")
     path = os.path.join(directory, f"step_{step}.msgpack")
     with open(path, "rb") as f:
-        return serialization.from_bytes(target, f.read())
+        payload = f.read()
+    if target is None or not target:
+        return serialization.msgpack_restore(payload)
+    return serialization.from_bytes(target, payload)
 
 
 class OrbaxCheckpointer:

@@ -76,3 +76,32 @@ def test_maps_build_end_to_end(tmp_path):
     # left region: differing captions → cosine < 1; right: identical → ~1
     assert cosmap[0, 0] < 0.999
     assert cosmap[0, 11] == pytest.approx(1.0, abs=1e-5)
+
+
+@pytest.mark.slow
+def test_score_cli_end_to_end(tmp_path, capsys):
+    """score subcommand: CSV of pairs → scores.csv with NaN for bad rows."""
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(3):
+        a = tmp_path / f"a{i}.png"
+        b = tmp_path / f"b{i}.jpg"
+        arr = rng.integers(0, 255, (70, 70, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(a)
+        Image.fromarray(np.clip(arr + 8, 0, 255).astype(np.uint8)).save(b)
+        rows.append({"img_a_pth": str(a), "img_b_pth": str(b)})
+    rows.append({"img_a_pth": rows[0]["img_a_pth"],
+                 "img_b_pth": str(tmp_path / "missing.png")})
+    csv = tmp_path / "pairs.csv"
+    pd.DataFrame(rows).to_csv(csv, index=False)
+
+    out = str(tmp_path / "scores.csv")
+    rc = main(["score", str(csv), "--backbone", "resnet50",
+               "--set", "backbone.image_size=64",
+               "--set", "backbone.compute_dtype=float32",
+               "--batch-size", "4", "--out", out])
+    assert rc == 0
+    df = pd.read_csv(out)
+    assert len(df) == 4
+    assert df["score"].notna().sum() == 3
+    assert df["score"][:3].ge(0).all()

@@ -137,3 +137,14 @@ def test_train_local_end_to_end_on_mesh(tmp_path):
         float(abs(x).sum()) for x in jax.tree.leaves(result.batch_stats))
     assert stats_norm > 0
     assert (tmp_path / "ckpt" / "latest.json").exists()
+
+
+def test_restore_without_target_returns_raw_tree(tmp_path):
+    """Target-free restore (used by the score CLI to pull the trained
+    heads out of a checkpoint without knowing the optimizer structure)."""
+    tree = {"trainable": {"w": np.arange(3.0)},
+            "opt_state": {"m": np.zeros(3)},
+            "batch_stats": {}}
+    save_checkpoint(str(tmp_path), 1, tree)
+    raw = restore_checkpoint(str(tmp_path))
+    np.testing.assert_array_equal(raw["trainable"]["w"], np.arange(3.0))
