@@ -33,10 +33,20 @@ def vit_block_taps(depth: int, total: int = 12, step: int = 1) -> Tuple[str, ...
     return tuple(f"blocks.{l}.ls2" for l in range(last - (depth * step), last + 1, step) if l >= 0)
 
 
+def _act(name: str, h):
+    if name == "gelu":
+        return nn.gelu(h, approximate=False)
+    if name == "quick_gelu":
+        # OpenAI CLIP's activation: x·sigmoid(1.702x).
+        return h * jax.nn.sigmoid(1.702 * h)
+    raise ValueError(f"unknown act {name!r}")
+
+
 class ViTBlock(nn.Module):
     width: int
     heads: int
     dtype: Any = jnp.float32
+    act: str = "gelu"
 
     @nn.compact
     def __call__(self, x: Array) -> Tuple[Array, Array]:
@@ -59,7 +69,7 @@ class ViTBlock(nn.Module):
 
         h = ln("norm2")(x).astype(self.dtype)
         h = dense("mlp.fc1", 4 * c)(h)
-        h = nn.gelu(h, approximate=False)
+        h = _act(self.act, h)
         mlp_branch = dense("mlp.fc2", c)(h).astype(x.dtype)
         # timm's ls2 is identity for CLIP ViTs → the hook captures exactly
         # this pre-residual branch output.  The caller performs the residual
@@ -76,6 +86,8 @@ class ClipViT(nn.Module):
     # Side of the positional-embedding grid the params were trained at
     # (14 = 224px/16).  Other input sizes interpolate at apply time.
     pos_grid: int = 14
+    # "quick_gelu" for OpenAI CLIP checkpoints; "gelu" for timm/laion ones.
+    act: str = "gelu"
 
     @nn.compact
     def __call__(self, x: Array, tap_offsets=None) -> Tuple[Array, Dict[str, Array]]:
@@ -113,7 +125,8 @@ class ClipViT(nn.Module):
 
         for l in range(self.depth):
             x_attn, branch = ViTBlock(
-                self.width, self.heads, dtype=self.dtype, name=f"blocks.{l}")(tokens)
+                self.width, self.heads, dtype=self.dtype, act=self.act,
+                name=f"blocks.{l}")(tokens)
             name = f"blocks.{l}.ls2"
             if tap_offsets and name in tap_offsets:
                 # Gradient-probe offset (srsem.explain.gradcam): the ls2

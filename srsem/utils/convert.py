@@ -141,6 +141,94 @@ def convert_clip_vit(sd: Mapping[str, Any]) -> Dict:
     return traverse_util.unflatten_dict(flat)
 
 
+def convert_hf_clip_text(sd: Mapping[str, Any]) -> Dict:
+    """HF ``CLIPTextModel(WithProjection)`` state dict → ClipTextEncoder
+    params.  HF stores q/k/v projections separately; ours fuses them into
+    one qkv matrix (concat along the output dim).  Accepts keys with or
+    without the ``text_model.`` prefix."""
+    sd = {k[len("text_model."):] if k.startswith("text_model.") else k: v
+          for k, v in sd.items()}
+    flat: Dict[tuple, np.ndarray] = {}
+    flat[("token_embedding", "embedding")] = _np(
+        sd["embeddings.token_embedding.weight"])
+    flat[("positional_embedding",)] = _np(
+        sd["embeddings.position_embedding.weight"])
+    if "text_projection.weight" in sd:
+        flat[("text_projection",)] = _np(sd["text_projection.weight"]).T
+    flat[("ln_final", "scale")] = _np(sd["final_layer_norm.weight"])
+    flat[("ln_final", "bias")] = _np(sd["final_layer_norm.bias"])
+    n_layers = 1 + max(
+        int(m.group(1)) for k in sd
+        if (m := re.match(r"encoder\.layers\.(\d+)\.", k)))
+    for l in range(n_layers):
+        tp = f"encoder.layers.{l}"
+        jp = f"resblocks.{l}"
+        qkv_w = np.concatenate([
+            _np(sd[f"{tp}.self_attn.{p}_proj.weight"]) for p in "qkv"], axis=0)
+        qkv_b = np.concatenate([
+            _np(sd[f"{tp}.self_attn.{p}_proj.bias"]) for p in "qkv"], axis=0)
+        flat[(jp, "attn.qkv", "kernel")] = qkv_w.T
+        flat[(jp, "attn.qkv", "bias")] = qkv_b
+        flat[(jp, "attn.out_proj", "kernel")] = _np(
+            sd[f"{tp}.self_attn.out_proj.weight"]).T
+        flat[(jp, "attn.out_proj", "bias")] = _np(
+            sd[f"{tp}.self_attn.out_proj.bias"])
+        for hf_ln, j_ln in (("layer_norm1", "ln_1"), ("layer_norm2", "ln_2")):
+            flat[(jp, j_ln, "scale")] = _np(sd[f"{tp}.{hf_ln}.weight"])
+            flat[(jp, j_ln, "bias")] = _np(sd[f"{tp}.{hf_ln}.bias"])
+        for hf_fc, j_fc in (("fc1", "c_fc"), ("fc2", "c_proj")):
+            flat[(jp, f"mlp.{j_fc}", "kernel")] = _np(
+                sd[f"{tp}.mlp.{hf_fc}.weight"]).T
+            flat[(jp, f"mlp.{j_fc}", "bias")] = _np(sd[f"{tp}.mlp.{hf_fc}.bias"])
+    return traverse_util.unflatten_dict(flat)
+
+
+def convert_hf_clip_vit(sd: Mapping[str, Any]) -> Dict:
+    """HF ``CLIPVisionModel`` state dict → ClipViT params (construct the
+    model with act="quick_gelu" for OpenAI checkpoints).  HF names:
+    vision_model.embeddings.{class_embedding, patch_embedding.weight,
+    position_embedding.weight}, pre_layrnorm, encoder.layers.N.*,
+    post_layernorm.  The patch conv has no bias in HF → zero bias."""
+    sd = {k[len("vision_model."):] if k.startswith("vision_model.") else k: v
+          for k, v in sd.items()}
+    flat: Dict[tuple, np.ndarray] = {}
+    patch_w = _conv(sd["embeddings.patch_embedding.weight"])
+    flat[("patch_embed", "kernel")] = patch_w
+    flat[("patch_embed", "bias")] = np.zeros(patch_w.shape[-1], np.float32)
+    width = patch_w.shape[-1]
+    flat[("cls_token",)] = _np(sd["embeddings.class_embedding"]).reshape(1, 1, width)
+    flat[("pos_embed",)] = _np(
+        sd["embeddings.position_embedding.weight"]).reshape(1, -1, width)
+    # HF's (sic) "pre_layrnorm" / post_layernorm → our norm_pre / norm.
+    pre_key = "pre_layrnorm" if "pre_layrnorm.weight" in sd else "pre_layernorm"
+    flat[("norm_pre", "scale")] = _np(sd[f"{pre_key}.weight"])
+    flat[("norm_pre", "bias")] = _np(sd[f"{pre_key}.bias"])
+    flat[("norm", "scale")] = _np(sd["post_layernorm.weight"])
+    flat[("norm", "bias")] = _np(sd["post_layernorm.bias"])
+    n_layers = 1 + max(
+        int(m.group(1)) for k in sd
+        if (m := re.match(r"encoder\.layers\.(\d+)\.", k)))
+    for l in range(n_layers):
+        tp = f"encoder.layers.{l}"
+        jp = f"blocks.{l}"
+        qkv_w = np.concatenate([
+            _np(sd[f"{tp}.self_attn.{p}_proj.weight"]) for p in "qkv"], axis=0)
+        qkv_b = np.concatenate([
+            _np(sd[f"{tp}.self_attn.{p}_proj.bias"]) for p in "qkv"], axis=0)
+        flat[(jp, "attn.qkv", "kernel")] = qkv_w.T
+        flat[(jp, "attn.qkv", "bias")] = qkv_b
+        flat[(jp, "attn.proj", "kernel")] = _np(
+            sd[f"{tp}.self_attn.out_proj.weight"]).T
+        flat[(jp, "attn.proj", "bias")] = _np(sd[f"{tp}.self_attn.out_proj.bias"])
+        for hf_ln, j_ln in (("layer_norm1", "norm1"), ("layer_norm2", "norm2")):
+            flat[(jp, j_ln, "scale")] = _np(sd[f"{tp}.{hf_ln}.weight"])
+            flat[(jp, j_ln, "bias")] = _np(sd[f"{tp}.{hf_ln}.bias"])
+        for fc in ("fc1", "fc2"):
+            flat[(jp, f"mlp.{fc}", "kernel")] = _np(sd[f"{tp}.mlp.{fc}.weight"]).T
+            flat[(jp, f"mlp.{fc}", "bias")] = _np(sd[f"{tp}.mlp.{fc}.bias"])
+    return traverse_util.unflatten_dict(flat)
+
+
 def convert_clip_text(sd: Mapping[str, Any]) -> Dict:
     """OpenAI CLIP text transformer state dict → ClipTextEncoder params.
 

@@ -119,3 +119,54 @@ def test_clip_text_encoder_matches_torch(np_rng):
         want = tm(torch.from_numpy(ids)).numpy()
     got = np.asarray(model.apply({"params": params}, ids.astype(np.int32)))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_hf_clip_text_converter_matches_transformers(np_rng):
+    transformers = pytest.importorskip("transformers")
+
+    cfg = transformers.CLIPTextConfig(
+        vocab_size=120, hidden_size=32, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=16, projection_dim=24,
+        attention_dropout=0.0)
+    hf = transformers.CLIPTextModelWithProjection(cfg).eval()
+
+    from srsem.utils.convert import convert_hf_clip_text
+
+    params = convert_hf_clip_text(hf.state_dict())
+    model = ClipTextEncoder(vocab_size=120, width=32, layers=2, heads=4,
+                            context=16, embed_dim=24)
+    ids = np_rng.integers(1, 100, (2, 12)).astype(np.int64)
+    ids[:, -1] = 119  # EOT = argmax token
+    with torch.no_grad():
+        hidden = hf.text_model(
+            input_ids=torch.from_numpy(ids)).last_hidden_state
+        eot = torch.from_numpy(ids).argmax(dim=-1)
+        feats = hidden[torch.arange(2), eot]
+        want = hf.text_projection(feats).numpy()
+    got = np.asarray(model.apply({"params": params}, ids.astype(np.int32)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_hf_clip_vit_converter_matches_transformers(np_rng):
+    transformers = pytest.importorskip("transformers")
+
+    from srsem.backbones.vit import ClipViT
+    from srsem.utils.convert import convert_hf_clip_vit
+
+    cfg = transformers.CLIPVisionConfig(
+        hidden_size=32, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, image_size=32, patch_size=8,
+        attention_dropout=0.0)
+    hf = transformers.CLIPVisionModel(cfg).eval()
+
+    params = convert_hf_clip_vit(hf.state_dict())
+    model = ClipViT(patch=8, width=32, depth=2, heads=4,
+                    dtype=np.float32, pos_grid=4, act="quick_gelu")
+    x = np_rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        out = hf(pixel_values=torch.from_numpy(
+            np.ascontiguousarray(x.transpose(0, 3, 1, 2))))
+        want = out.pooler_output.numpy()  # post_layernorm(cls)
+    emb, _ = model.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(emb), want, rtol=1e-4, atol=1e-4)
