@@ -101,6 +101,55 @@ def cmd_train_global(args) -> int:
     return 0
 
 
+def cmd_eval_global(args) -> int:
+    """SRCC/MSE of a (trained) global regressor against the user-study CSV
+    — the reference's README table numbers (reference: README.md:98-105)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from srsem.core.config import BackboneConfig, GlobalModelConfig, override
+    from srsem.data.datasets import UserStudyScores, seeded_split
+    from srsem.data.preprocess import Preprocess
+    from srsem.eval.scorer import PairScorer
+    from srsem.models.global_models import make_global_model
+    from srsem.train.checkpoint import restore_checkpoint
+    from srsem.train.metrics import mse, srcc
+    from srsem.train.partition import merge_params
+
+    cfg = override(
+        GlobalModelConfig(backbone=BackboneConfig(kind=args.backbone)),
+        _parse_sets(args.set))
+    model = make_global_model(cfg)
+    size = cfg.backbone.image_size
+    z = jnp.zeros((1, size, size, 3))
+    variables = model.init(jax.random.PRNGKey(0), z, z)
+    if args.checkpoint:
+        restored = restore_checkpoint(args.checkpoint)
+        variables = {"params": merge_params(
+            restored["trainable"], variables["params"])}
+
+    pre = Preprocess.for_backbone(cfg.backbone.kind, size)
+    ds = UserStudyScores(args.csv, args.root, pre)
+    idx = list(range(len(ds)))
+    if args.val_only:
+        # Evaluate on the held-out 20% of the seeded split (reference
+        # convention: split seed 42).
+        _, val_idx = seeded_split(len(ds), 0.2, args.seed)
+        idx = [int(i) for i in val_idx]
+    pairs = [ds.paths(i) for i in idx]
+    labels = np.array([ds.label(i) for i in idx])
+
+    scorer = PairScorer(cfg, variables, batch_size=args.batch_size)
+    scores = scorer.score_paths(pairs)
+    valid = ~np.isnan(scores)
+    out = {"n": int(valid.sum()),
+           "srcc": srcc(scores[valid], labels[valid]),
+           "mse": mse(scores[valid], labels[valid])}
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_train_clu(args) -> int:
     from srsem.core.config import (BackboneConfig, LocalModelConfig,
                                    TrainConfig, override)
@@ -323,6 +372,18 @@ def main(argv=None) -> int:
     p.add_argument("--set", action="append", default=[])
     p.add_argument("--train-set", action="append", default=[])
     p.set_defaults(fn=cmd_train_global)
+
+    p = sub.add_parser("eval-global",
+                       help="SRCC/MSE vs the user-study labels")
+    p.add_argument("csv")
+    p.add_argument("root")
+    p.add_argument("--backbone", default="resnet50")
+    p.add_argument("--checkpoint")
+    p.add_argument("--val-only", action="store_true")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--set", action="append", default=[])
+    p.set_defaults(fn=cmd_eval_global)
 
     p = sub.add_parser("train-clu")
     p.add_argument("csv")

@@ -105,3 +105,31 @@ def test_score_cli_end_to_end(tmp_path, capsys):
     assert len(df) == 4
     assert df["score"].notna().sum() == 3
     assert df["score"][:3].ge(0).all()
+
+
+@pytest.mark.slow
+def test_eval_global_cli(tmp_path, capsys):
+    """eval-global: SRCC/MSE vs user-study labels through the CLI."""
+    rng = np.random.default_rng(0)
+    root = tmp_path / "150_clip+koniq_set"
+    (root / "SR").mkdir(parents=True)
+    (root / "HQ").mkdir()
+    rows = []
+    for i in range(6):
+        Image.fromarray(rng.integers(0, 255, (70, 70, 3), dtype=np.uint8)).save(
+            root / "HQ" / f"{i}.jpg")
+        Image.fromarray(rng.integers(0, 255, (70, 70, 3), dtype=np.uint8)).save(
+            root / "SR" / f"m_{i}.png")
+        rows.append({"Super Resolution Image": f"m_{i}.png",
+                     "Answer": "Yes" if i % 2 else "No"})
+    csv = tmp_path / "study.csv"
+    pd.DataFrame(rows).to_csv(csv, index=False)
+
+    rc = main(["eval-global", str(csv), str(root), "--backbone", "resnet50",
+               "--set", "backbone.image_size=64",
+               "--set", "backbone.compute_dtype=float32",
+               "--batch-size", "4"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n"] == 6
+    assert np.isfinite(out["mse"])
