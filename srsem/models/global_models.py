@@ -55,9 +55,23 @@ from srsem.core.config import GlobalModelConfig
 
 Array = jax.Array
 
-# Kaiming-normal fan-out init matches the reference's head init
-# (reference: models/global_eval_models.py:527-532).
-_head_init = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
+# Two head inits, matching the reference exactly:
+# * the 1x1-conv / linear scoring heads use torch's DEFAULT Conv2d/Linear
+#   init — kaiming_uniform(a=√5) over fan_in, i.e. U(±1/√fan_in) —
+#   because the stages_cnn/wperlay/vit classes never call init_weights.
+#   (Kaiming fan_out would be catastrophic here: a C→1 head has fan_out=1
+#   → std≈1.4, inflating initial scores ~70× and driving the final ReLU
+#   dead under training.)
+# * the MLP variants call init_weights with Kaiming-normal fan_out
+#   (reference: models/global_eval_models.py:527-532).
+_head_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+# Head bias starts slightly positive: squared-diff inputs are nonnegative,
+# so the sign of the initial pre-ReLU score is one random draw per head —
+# a 50% chance the final ReLU is born dead and training never starts.
+# +0.01 sits inside torch's own default bias range U(±1/√fan_in) but on
+# the live side.
+_head_bias_init = nn.initializers.constant(0.01)
+_mlp_init = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
 
 
 def stage_taps_for(kind: str, depth: int) -> Tuple[str, ...]:
@@ -97,7 +111,8 @@ class ConvHeadAggregator(nn.Module):
         scores = []
         for j, d in enumerate(diffs):
             # 1x1 conv C→1 == Dense over the channel axis.
-            w = nn.Dense(1, kernel_init=_head_init, param_dtype=jnp.float32,
+            w = nn.Dense(1, kernel_init=_head_init,
+                         bias_init=_head_bias_init, param_dtype=jnp.float32,
                          name=f"w_layers.{j}")(d)[..., 0]
             scores.append(jnp.mean(w, axis=(1, 2)))
         return nn.relu(jnp.mean(jnp.stack(scores, axis=0), axis=0))
@@ -114,13 +129,14 @@ class TokenHeadAggregator(nn.Module):
     @nn.compact
     def __call__(self, diffs: List[Array]) -> Array:
         shared_head = (nn.Dense(1, kernel_init=_head_init,
+                                bias_init=_head_bias_init,
                                 param_dtype=jnp.float32, name="w_layer")
                        if self.shared else None)
         scores = []
         for j, d in enumerate(diffs):  # d: (N, tokens, width)
             head = shared_head or nn.Dense(
-                1, kernel_init=_head_init, param_dtype=jnp.float32,
-                name=f"w_layers.{j}")
+                1, kernel_init=_head_init, bias_init=_head_bias_init,
+                param_dtype=jnp.float32, name=f"w_layers.{j}")
             w = head(d)[..., 0]
             scores.append(jnp.mean(w, axis=-1))
         return nn.relu(jnp.mean(jnp.stack(scores, axis=0), axis=0))
@@ -138,7 +154,7 @@ class MlpHead(nn.Module):
     def __call__(self, x: Array) -> Array:
         h = x.astype(jnp.float32)
         for j, width in enumerate(self.widths):
-            h = nn.Dense(width, kernel_init=_head_init, param_dtype=jnp.float32,
+            h = nn.Dense(width, kernel_init=_mlp_init, param_dtype=jnp.float32,
                          name=f"fin_lin.{j}")(h)
             h = nn.relu(h)
         return h[..., 0]
