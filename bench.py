@@ -212,6 +212,52 @@ def main() -> None:
         print(json.dumps({"bench": "dual_global_plus_map", "error": str(e)[:300]}),
               file=sys.stderr, flush=True)
 
+    # --- secondary: jitted training-step throughput (global regressor,
+    # masked-MSE Adam step over the mesh — srsem/train/steps.py).
+    try:
+        import optax
+
+        from srsem.core.meshes import replicate, shard_batch
+        from srsem.train.partition import partition_params, trainable_predicate
+        from srsem.train.steps import build_step_fns
+
+        tb = 64
+        tvars = gmodel.init(rng, z, z)
+        t_train, t_frozen = partition_params(
+            tvars["params"], trainable_predicate())
+        tx = optax.adam(1e-4)
+        steps = build_step_fns(gmodel, tx, mesh, is_map_model=False)
+        t_train = replicate(mesh, t_train)
+        t_frozen = replicate(mesh, t_frozen)
+        t_opt = replicate(mesh, tx.init(jax.device_get(t_train)))
+        ta = jax.device_put(
+            (np.asarray(jax.device_get(a_u8[:tb])) / 255.0).astype(np.float32),
+            data)
+        tbimg = jax.device_put(
+            (np.asarray(jax.device_get(b_u8[:tb])) / 255.0).astype(np.float32),
+            data)
+        ty = jax.device_put(np.zeros((tb,), np.float32), data)
+        tmask = jax.device_put(np.ones((tb,), np.float32), data)
+
+        state = {"t": t_train, "o": t_opt}
+
+        def one_step():
+            new_t, new_o, _, loss = steps.train_step(
+                state["t"], state["o"], t_frozen, {}, (ta, tbimg), ty, tmask)
+            state["t"], state["o"] = new_t, new_o
+            return loss
+
+        jax.device_get(one_step())
+        t0 = time.perf_counter()
+        loss = None
+        for _ in range(20):
+            loss = one_step()
+        jax.device_get(loss)
+        note("global_train_step", tb * 20 / (time.perf_counter() - t0))
+    except Exception as e:
+        print(json.dumps({"bench": "global_train_step", "error": str(e)[:300]}),
+              file=sys.stderr, flush=True)
+
     pairs_per_sec_per_chip = headline / n_chips
     print(json.dumps({
         "metric": "global_cliplpips_pairs_per_sec_per_chip",
