@@ -229,6 +229,33 @@ def convert_hf_clip_vit(sd: Mapping[str, Any]) -> Dict:
     return traverse_util.unflatten_dict(flat)
 
 
+def convert_slip(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """Meta SLIP checkpoint → parts for SlipDualEncoder.
+
+    SLIP's CLIP class (reference: additional_approaches/src/slip/models.py:
+    66-101) pairs a timm ViT under ``visual.`` with an OpenAI-style text
+    transformer (token_embedding / positional_embedding /
+    transformer.resblocks.N / ln_final) plus separate ``image_projection``
+    and ``text_projection`` matrices — so this is a composition of the
+    timm-ViT and OpenAI-text converters.
+
+    Returns {"vit": ClipViT params, "image_projection": (vw, embed),
+             "text": ClipTextEncoder params (text_projection included)}.
+    """
+    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+    visual = {k[len("visual."):]: v for k, v in sd.items()
+              if k.startswith("visual.")}
+    text_keys = {k: v for k, v in sd.items()
+                 if k.startswith(("token_embedding", "positional_embedding",
+                                  "transformer.", "ln_final",
+                                  "text_projection"))}
+    return {
+        "vit": convert_clip_vit(visual),
+        "image_projection": _np(sd["image_projection"]),
+        "text": convert_clip_text(text_keys),
+    }
+
+
 def convert_clip_text(sd: Mapping[str, Any]) -> Dict:
     """OpenAI CLIP text transformer state dict → ClipTextEncoder params.
 

@@ -170,3 +170,55 @@ def test_hf_clip_vit_converter_matches_transformers(np_rng):
         want = out.pooler_output.numpy()  # post_layernorm(cls)
     emb, _ = model.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(emb), want, rtol=1e-4, atol=1e-4)
+
+
+def test_slip_converter_composes_and_matches_torch(np_rng):
+    """convert_slip: a SLIP-layout checkpoint (timm ViT under visual. +
+    OpenAI text transformer + projection matrices) drives SlipDualEncoder
+    to torch-identical embeddings."""
+    from tests.test_torch_parity import TorchClipViT, _nchw
+
+    from srsem.backbones.vit import ClipViT
+    from srsem.explain.dual_encoders import SlipDualEncoder
+    from srsem.pseudo.clip_text import ClipTextEncoder
+    from srsem.utils.convert import convert_slip
+
+    tvit = TorchClipViT().eval()  # timm-ish naming, width 96, patch 8
+    ttext = TorchClipText(vocab=100, width=32, layers=2, heads=4, ctx=16,
+                          embed_dim=24).eval()
+    img_proj = torch.randn(96, 24) * 0.05
+
+    sd = {}
+    for k, v in tvit.state_dict().items():
+        k = (k.replace(".qkv.", ".attn.qkv.")
+              .replace(".fc1.", ".mlp.fc1.").replace(".fc2.", ".mlp.fc2."))
+        if k.startswith("blocks.") and ".attn." not in k and ".mlp." not in k \
+                and ".proj." in k:
+            k = k.replace(".proj.", ".attn.proj.")
+        sd["visual." + k] = v
+    sd.update({k: v for k, v in ttext.state_dict_openai().items()})
+    sd["image_projection"] = img_proj
+    # SLIP's text_projection goes width→embed; reuse the torch mirror's.
+    parts = convert_slip(sd)
+
+    vit = ClipViT(patch=8, width=96, depth=3, heads=4, dtype=np.float32,
+                  pos_grid=4)
+    enc = SlipDualEncoder(
+        {"params": parts["vit"]}, parts["image_projection"], vit=vit,
+        text_encoder=ClipTextEncoder(vocab_size=100, width=32, layers=2,
+                                     heads=4, context=16, embed_dim=24),
+        text_variables={"params": parts["text"]},
+        tokenizer=lambda texts: np.array([[1, 5, 99] + [0] * 13]))
+
+    x = np_rng.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        cls, _ = tvit(_nchw(x))
+        want_img = (cls @ img_proj).numpy()
+    got_img = np.asarray(enc.encode_image(x))
+    np.testing.assert_allclose(got_img, want_img, rtol=1e-4, atol=1e-4)
+
+    ids = np.array([[1, 5, 99] + [0] * 13])
+    with torch.no_grad():
+        want_txt = ttext(torch.from_numpy(ids)).numpy()
+    got_txt = np.asarray(enc.encode_text(["anything"]))
+    np.testing.assert_allclose(got_txt, want_txt, rtol=1e-4, atol=1e-4)
