@@ -64,28 +64,34 @@ _LEVEL_CHANNELS = (64, 256, 512, 1024, 2048)
 
 class DecoderBlock(nn.Module):
     """Conv3x3+BN+ReLU → Conv(k)+[BN]+ReLU.  The shallowest block ends with
-    a 1x1 conv to one channel and no second BN (reference :39-45)."""
+    a 1x1 conv to one channel and no second BN (reference :39-45).
+
+    ``dtype`` is the conv compute dtype (params stay float32; BN statistics
+    always compute in float32 regardless)."""
 
     mid: int
     out: int
     final_kernel: int = 3
     final_bn: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, train: bool) -> Array:
-        x = x.astype(jnp.float32)
+        x = x.astype(self.dtype)
         x = nn.Conv(self.mid, (3, 3), padding="SAME", kernel_init=_conv_init,
-                    param_dtype=jnp.float32, name="conv1")(x)
+                    dtype=self.dtype, param_dtype=jnp.float32, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, param_dtype=jnp.float32, name="bn1")(x)
-        x = nn.relu(x)
+                         epsilon=1e-5, dtype=jnp.float32,
+                         param_dtype=jnp.float32, name="bn1")(x)
+        x = nn.relu(x).astype(self.dtype)
         k = self.final_kernel
         x = nn.Conv(self.out, (k, k), padding="SAME", kernel_init=_conv_init,
-                    param_dtype=jnp.float32, name="conv2")(x)
+                    dtype=self.dtype, param_dtype=jnp.float32, name="conv2")(x)
         if self.final_bn:
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, param_dtype=jnp.float32, name="bn2")(x)
-        return nn.relu(x)
+                             epsilon=1e-5, dtype=jnp.float32,
+                             param_dtype=jnp.float32, name="bn2")(x)
+        return nn.relu(x.astype(jnp.float32))
 
 
 class CluUnet(nn.Module):
@@ -97,6 +103,10 @@ class CluUnet(nn.Module):
     compute_dtype: Any = jnp.bfloat16
     sigmoid: bool = True  # False = the reference's global CLIP_lpips_Unet copy
     image_size: int = 224
+    # Decoder conv compute dtype.  float32 is the parity default; bfloat16
+    # trades ~3 decimal digits of map precision for decoder throughput on
+    # the MXU (the CLU serving path is decoder-bound, BENCH_NOTES.md).
+    decoder_dtype: Any = jnp.float32
 
     def setup(self):
         rank = self.lora_rank if isinstance(self.lora_rank, int) else None
@@ -125,9 +135,11 @@ class CluUnet(nn.Module):
         for lvl, ch in enumerate(_LEVEL_CHANNELS):
             if lvl == 0:
                 blocks.append(DecoderBlock(64, 1, final_kernel=1, final_bn=False,
+                                           dtype=self.decoder_dtype,
                                            name="decoder.0"))
             else:
-                blocks.append(DecoderBlock(ch, ch, name=f"decoder.{lvl}"))
+                blocks.append(DecoderBlock(ch, ch, dtype=self.decoder_dtype,
+                                           name=f"decoder.{lvl}"))
         self.decoder = blocks
 
     def __call__(self, a: Array, b: Array, train: bool = False) -> Array:
