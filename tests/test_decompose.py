@@ -90,3 +90,38 @@ def test_greedy_modes_return_vectors(dictionary, mode):
     out = g(dictionary[0])
     assert out.shape == (16,)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_force_compute_basis_damped_search(dictionary):
+    """Legacy rank search with sigmoid-damped l1 stepping
+    (reference: splice_wrapper_old.py:16-73)."""
+    sp = SpliceDecomposer(dictionary, np.zeros(16, np.float32),
+                          vocab=[f"w{i}" for i in range(50)])
+    emb = np.random.default_rng(5).standard_normal((1, 16)).astype(np.float32)
+    res = sp.force_compute_basis(emb, rank=4)
+    assert res is not None
+    assert int(np.count_nonzero(res["weights"])) == 4
+    assert len(res["words"]) == 4
+
+
+def test_project_to_basis_restricts_support(dictionary):
+    """Projection reuses only the source decomposition's support
+    (reference: splice_wrapper_old.py:120-167)."""
+    sp = SpliceDecomposer(dictionary, np.zeros(16, np.float32))
+    w = np.zeros((1, 50), np.float32)
+    w[0, [2, 7, 11]] = [1.0, 0.4, 0.2]
+    target = np.random.default_rng(6).standard_normal((1, 16)).astype(np.float32)
+    rec = sp.project_to_basis(w, target)
+    assert rec.shape == (1, 16)
+    np.testing.assert_allclose(np.linalg.norm(rec, axis=1), 1.0, atol=1e-4)
+
+
+def test_find_all_basis_rank_range_shares_hints(dictionary):
+    sp = SpliceDecomposer(dictionary, np.zeros(16, np.float32))
+    emb = np.random.default_rng(7).standard_normal((1, 16)).astype(np.float32)
+    out = sp.find_all_basis_rank_range(emb, 3, 5)
+    assert set(out) <= {3, 4, 5}
+    for rank, w in out.items():
+        assert int(np.count_nonzero(w[0])) == rank
+    # hint cache accumulated entries across the sweep
+    assert len(sp.l1p_hint["admm"]) >= len(out)
