@@ -103,3 +103,38 @@ def test_grad_cam_on_small_backbone(rng):
     assert cam.shape == (1, 64, 64)
     assert cam.min() >= 0.0 and cam.max() <= 1.0 + 1e-6
     assert cam.max() > 0.0
+
+
+def test_similarity_matrix_vectorized(np_rng):
+    from srsem.explain.overlap import similarity_matrix
+    from srsem.explain.targets import cosine_similarity_target
+
+    v = np_rng.standard_normal((4, 8)).astype(np.float32)
+    m = similarity_matrix(v, cosine_similarity_target)
+    assert m.shape == (4, 4)
+    np.testing.assert_allclose(np.diag(m), 1.0, atol=1e-5)
+    np.testing.assert_allclose(m, m.T, atol=1e-5)
+
+
+def test_grad_cam_matrix_all_pairs(rng):
+    """n×n CAM grid (reference: gcam_utils.py:23-36)."""
+    import jax
+
+    from srsem.backbones.resnet import ImageNetResNet50
+    from srsem.explain.gradcam import grad_cam_matrix
+    from srsem.explain.targets import cosine_similarity_target
+
+    model = ImageNetResNet50(dtype=np.float32)
+    imgs = [jax.random.uniform(jax.random.PRNGKey(i), (1, 64, 64, 3))
+            for i in range(2)]
+    vs = model.init(rng, imgs[0])
+
+    def embed_fn(x, tap_offsets):
+        return model.apply(vs, x, tap_offsets=tap_offsets)
+
+    embs = np.stack([np.asarray(embed_fn(im, None)[0])[0] for im in imgs])
+    cams = grad_cam_matrix(embed_fn, imgs, embs, "layer4.2.act3",
+                           cosine_similarity_target, out_hw=(64, 64))
+    assert cams.shape == (2, 2, 64, 64)
+    assert np.isfinite(cams).all()
+    assert cams.max() <= 1.0 + 1e-6 and cams.min() >= 0.0
