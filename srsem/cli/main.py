@@ -341,9 +341,56 @@ def cmd_sweep_dataset(args) -> int:
 def cmd_folder_metrics(args) -> int:
     from srsem.eval.folder_metrics import ImageQualityMetrics, run_folder_sweep
 
-    calc = ImageQualityMetrics(batch_size=args.batch_size)
+    lpips_params = None
+    if getattr(args, "lpips_checkpoint", None):
+        import torch
+
+        from srsem.eval.lpips import convert_lpips
+
+        lin_sd = torch.load(args.lpips_checkpoint, map_location="cpu")
+        tower_sd = (torch.load(args.lpips_tower, map_location="cpu")
+                    if args.lpips_tower else None)
+        lpips_params = convert_lpips(lin_sd, tower_sd, net=args.lpips_net)
+    koniqpp = None
+    if getattr(args, "koniqpp_checkpoint", None):
+        from srsem.eval.nr_iqa import NrIqaScorer
+        from srsem.train.nr_iqa import load_nr_iqa_head
+
+        variables = load_nr_iqa_head(args.koniqpp_checkpoint)
+        koniqpp = NrIqaScorer(variables)
+    calc = ImageQualityMetrics(batch_size=args.batch_size,
+                               lpips_net=args.lpips_net,
+                               lpips_params=lpips_params,
+                               koniqpp=koniqpp)
     results = run_folder_sweep(args.gt_folder, args.eval_folders, calc)
     print(json.dumps({f: len(df) for f, df in results.items()}))
+    return 0
+
+
+def cmd_train_nr_iqa(args) -> int:
+    from pathlib import Path
+
+    import numpy as np
+
+    from srsem.eval.folder_metrics import IMG_EXTENSIONS
+    from srsem.train.nr_iqa import train_nr_iqa
+
+    paths = sorted(p for p in Path(args.image_folder).iterdir()
+                   if p.suffix.lower() in IMG_EXTENSIONS)
+    if args.limit:
+        paths = paths[: args.limit]
+    from PIL import Image
+
+    imgs = np.stack([
+        np.asarray(Image.open(p).convert("RGB").resize(
+            (args.image_size, args.image_size), Image.BICUBIC), np.float32)
+        / 255.0 for p in paths])
+    result = train_nr_iqa(imgs, epochs=args.epochs,
+                          batch_size=args.batch_size, lr=args.lr,
+                          checkpoint_dir=args.checkpoint_dir)
+    print(json.dumps({"images": len(imgs), "steps": len(result.losses),
+                      "final_loss": result.losses[-1],
+                      "val_mse": result.val_mse}))
     return 0
 
 
@@ -419,7 +466,26 @@ def main(argv=None) -> int:
     p.add_argument("gt_folder")
     p.add_argument("eval_folders", nargs="+")
     p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--lpips-net", default="alex", choices=["alex", "vgg"])
+    p.add_argument("--lpips-checkpoint", default=None,
+                   help="official lpips lin-weights .pth (convert_lpips)")
+    p.add_argument("--lpips-tower", default=None,
+                   help="torchvision alexnet/vgg16 state dict for the tower")
+    p.add_argument("--koniqpp-checkpoint", default=None,
+                   help="NR-IQA head checkpoint dir (srsem train-nr-iqa)")
     p.set_defaults(fn=cmd_folder_metrics)
+
+    p = sub.add_parser("train-nr-iqa", help="train the KonIQ++-equivalent "
+                       "NR-IQA head on synthetic degradations of a folder")
+    p.add_argument("image_folder")
+    p.add_argument("--checkpoint-dir", required=True)
+    p.add_argument("--epochs", type=int, default=5)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--limit", type=int, default=0,
+                   help="cap the number of images (0 = all)")
+    p.set_defaults(fn=cmd_train_nr_iqa)
 
     p = sub.add_parser("pseudo-captions")
     p.add_argument("root")

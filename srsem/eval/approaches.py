@@ -71,6 +71,7 @@ def compute_embedding_sim_metrics(
     do_gradcam: bool = True,
     grid_hw=None,
     saliency: Optional[np.ndarray] = None,
+    lpips_fn: Optional[Callable] = None,
 ) -> Dict[str, float]:
     """One pair × one metric → result dict (reference :81-168).
 
@@ -95,6 +96,11 @@ def compute_embedding_sim_metrics(
         hq4, rec4 = hq4[None], rec4[None]
     data["ssim"] = float(np.asarray(ssim(hq4, rec4))[0])
     data["psnr"] = float(np.asarray(psnr(hq4, rec4))[0])
+    if lpips_fn is not None:
+        # reference computes lpips alongside ssim/psnr per pair
+        # (compute_metrics.py:121-123); srsem.eval.lpips.make_lpips is the
+        # real learned backend ([0,1] NHWC batches).
+        data["lpips"] = float(np.asarray(lpips_fn(hq4, rec4))[0])
 
     if do_gradcam and embed_fn_for_cam is not None and tap_name is not None:
         out_hw = hq4.shape[1:3]

@@ -13,10 +13,11 @@ on device; folders stream sequentially through the same compiled function.
 Metric backends:
 
 * SSIM / PSNR — native JAX (srsem.explain.iqa);
-* LPIPS — perceptual distance over our frozen feature pyramid: mean of
-  per-stage mean squared differences of unit-normalized features (the
-  LPIPS recipe with uniform weights; a learned-weight head can be loaded
-  on top — it is exactly the global regressor's architecture);
+* LPIPS — the real learned metric (srsem.eval.lpips: AlexNet tower,
+  unit-normalized features, learned 1x1 lins — pyiqa's default net);
+  pass ``lpips_params`` (from ``convert_lpips``) for the official
+  checkpoint, or ``lpips_fn`` for any custom backend (e.g. the
+  uniform-weight pyramid stand-in kept below);
 * KonIQ++ — an external no-reference model in the reference (vendored
   checkout, not in its tree); pluggable callable here, NaN columns when
   absent — the same degradation the reference exhibits without the
@@ -49,16 +50,24 @@ class ImageQualityMetrics:
 
     ``koniqpp``: optional callable path → dict with the five KonIQ++
     scores; ``lpips_fn``: optional callable (gt_batch, eval_batch) → (N,)
-    distances (defaults to the feature-pyramid LPIPS below).
+    distances (defaults to the real LPIPS architecture, srsem.eval.lpips,
+    with ``lpips_params`` when given — the converted official checkpoint).
     """
 
     def __init__(self, image_size: int = 224, batch_size: int = 32,
                  koniqpp: Optional[Callable] = None,
-                 lpips_fn: Optional[Callable] = None):
+                 lpips_fn: Optional[Callable] = None,
+                 lpips_params: Optional[dict] = None,
+                 lpips_net: str = "alex"):
         self.image_size = image_size
         self.batch_size = batch_size
         self.koniqpp = koniqpp
-        self.lpips_fn = lpips_fn or make_pyramid_lpips(image_size)
+        if lpips_fn is None:
+            from srsem.eval.lpips import make_lpips
+
+            lpips_fn = make_lpips(net=lpips_net, params=lpips_params,
+                                  image_size=image_size)
+        self.lpips_fn = lpips_fn
 
         @jax.jit
         def _classical(gt, ev):
