@@ -43,12 +43,19 @@ class NrIqaHead(nn.Module):
         pooled = jnp.concatenate(
             [jnp.mean(taps[n].astype(jnp.float32), axis=(1, 2))
              for n in IMAGENET_STAGE_TAPS], axis=-1)
+        # LayerNorm decouples head training from the tower's feature scale
+        # (random-init towers produce O(10..100) GAP features; pretrained
+        # towers O(1) — same head trains stably on both).
+        pooled = nn.LayerNorm(name="head.norm")(pooled)
         h = nn.Dense(self.hidden, param_dtype=jnp.float32, name="head.fc1")(pooled)
         h = nn.relu(h)
         h = nn.Dense(self.hidden // 2, param_dtype=jnp.float32,
                      name="head.fc2")(h)
         h = nn.relu(h)
+        # Zero-init output: predictions start at 0 so the initial loss is
+        # E[y^2], not the random-projection blow-up.
         return nn.Dense(len(OUTPUT_NAMES), param_dtype=jnp.float32,
+                        kernel_init=nn.initializers.zeros,
                         name="head.out")(h)
 
 

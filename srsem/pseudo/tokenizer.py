@@ -44,17 +44,86 @@ def _get_pairs(word: Tuple[str, ...]):
     return {(word[i], word[i + 1]) for i in range(len(word) - 1)}
 
 
-# CLIP's regex uses \p{L}/\p{N} (regex module); stdlib `re` has no Unicode
-# property classes, so letters/digits use the Unicode-aware \w fallback:
-# non-ASCII words still tokenize, byte-BPE handles any codepoint downstream.
-_CLIP_PATTERN = re.compile(
-    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
-    r"""[^\W\d_]+|[0-9]|[^\s\w]+""",
-    re.IGNORECASE | re.UNICODE)
+# CLIP's regex uses \p{L}/\p{N} Unicode property classes (regex module,
+# reference: additional_approaches/src/slip/tokenizer.py:59-61); stdlib `re`
+# has none, so the split is an explicit scanner over unicodedata categories —
+# exactly equivalent to findall of
+#   <|startoftext|>|<|endoftext|>|'s|'t|'re|'ve|'m|'ll|'d|
+#   [\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+   (IGNORECASE)
+# including the cases where Python's \w fallback diverges: "_" is punctuation
+# under \p{L}/\p{N} (not a word char) and superscripts like "2-superscript"
+# are single \p{N} tokens (not letters).
+
+_SPECIAL_TOKENS = ("<|startoftext|>", "<|endoftext|>")
+_CONTRACTIONS_3 = ("'re", "'ve", "'ll")
+_CONTRACTIONS_2 = ("'s", "'t", "'m", "'d")
+
+
+def _cat(ch: str) -> str:
+    import unicodedata
+
+    return unicodedata.category(ch)
+
+
+def clip_word_split(text: str) -> List[str]:
+    """Scanner equivalent of the reference tokenizer's pattern findall."""
+    tokens: List[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch.isspace():
+            i += 1
+            continue
+        if ch == "<":
+            for sp in _SPECIAL_TOKENS:
+                if text.startswith(sp, i):
+                    tokens.append(sp)
+                    i += len(sp)
+                    break
+            else:
+                i = _scan_rest(text, i, tokens)
+            continue
+        if ch == "'":
+            low3 = text[i: i + 3].lower()
+            if low3 in _CONTRACTIONS_3:
+                tokens.append(text[i: i + 3])
+                i += 3
+                continue
+            low2 = text[i: i + 2].lower()
+            if low2 in _CONTRACTIONS_2:
+                tokens.append(text[i: i + 2])
+                i += 2
+                continue
+        i = _scan_rest(text, i, tokens)
+    return tokens
+
+
+def _scan_rest(text: str, i: int, tokens: List[str]) -> int:
+    """Match [\\p{L}]+ | [\\p{N}] | [^\\s\\p{L}\\p{N}]+ at position i."""
+    n = len(text)
+    c0 = _cat(text[i])[0]
+    if c0 == "L":
+        j = i + 1
+        while j < n and _cat(text[j])[0] == "L":
+            j += 1
+        tokens.append(text[i:j])
+        return j
+    if c0 == "N":
+        tokens.append(text[i])
+        return i + 1
+    j = i + 1
+    while j < n and not text[j].isspace() and _cat(text[j])[0] not in ("L", "N"):
+        j += 1
+    tokens.append(text[i:j])
+    return j
 
 
 def _basic_clean(text: str) -> str:
-    return html.unescape(html.unescape(text)).strip()
+    from srsem.pseudo.textfix import fix_text
+
+    # reference: slip/tokenizer.py:59-61 — ftfy.fix_text then a DOUBLE
+    # html.unescape, then strip.
+    return html.unescape(html.unescape(fix_text(text))).strip()
 
 
 def _whitespace_clean(text: str) -> str:
@@ -83,7 +152,9 @@ class ClipBpeTokenizer:
         vocab.extend(["<|startoftext|>", "<|endoftext|>"])
         self.encoder = {tok: i for i, tok in enumerate(vocab)}
         self.bpe_ranks = {m: i for i, m in enumerate(merges)}
-        self.cache: Dict[str, str] = {}
+        # Specials pass through BPE verbatim (reference: slip/tokenizer.py's
+        # cache pre-population).
+        self.cache: Dict[str, str] = {t: t for t in _SPECIAL_TOKENS}
         self.sot = self.encoder["<|startoftext|>"]
         self.eot = self.encoder["<|endoftext|>"]
 
@@ -127,7 +198,7 @@ class ClipBpeTokenizer:
     def encode_text(self, text: str) -> List[int]:
         text = _whitespace_clean(_basic_clean(text)).lower()
         ids: List[int] = []
-        for token in _CLIP_PATTERN.findall(text):
+        for token in clip_word_split(text):
             token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
             ids.extend(self.encoder[t] for t in self.bpe(token).split(" "))
         return ids

@@ -1,4 +1,13 @@
-"""Native tokenizer tests (CLIP byte-BPE + WordPiece) on toy vocab files."""
+"""Native tokenizer tests (CLIP byte-BPE + WordPiece) on toy vocab files.
+
+Includes golden word-split parity: frozen (string -> word pieces) pairs
+derived from the reference tokenizer's exact pattern
+``<|startoftext|>|<|endoftext|>|'s|'t|'re|'ve|'m|'ll|'d|[\\p{L}]+|[\\p{N}]|
+[^\\s\\p{L}\\p{N}]+`` with ftfy.fix_text + double html.unescape cleanup
+(reference: additional_approaches/src/slip/tokenizer.py:13-14,59-75) —
+including the non-ASCII, mojibake, contraction, underscore, and
+Unicode-number cases where a naive stdlib ``\\w`` fallback diverges.
+"""
 
 import gzip
 
@@ -8,8 +17,67 @@ import pytest
 from srsem.pseudo.tokenizer import (
     ClipBpeTokenizer,
     WordPieceTokenizer,
+    _basic_clean,
+    _whitespace_clean,
     bytes_to_unicode,
+    clip_word_split,
 )
+
+
+# Hand-derived from the reference pattern's regex-engine semantics:
+# alternation tried in order at each scan position, greedy classes,
+# whitespace skipped, text already cleaned + lowercased.
+WORD_SPLIT_GOLDENS = [
+    ("that's what i'll do, isn't it?",
+     ["that", "'s", "what", "i", "'ll", "do", ",", "isn", "'t", "it", "?"]),
+    ("we've 'd'd they're i'm",
+     ["we", "'ve", "'d", "'d", "they", "'re", "i", "'m"]),
+    # underscore is NOT \p{L}/\p{N} -> punctuation run (stdlib \w would
+    # glue foo_bar into one word).
+    ("foo_bar", ["foo", "_", "bar"]),
+    # every \p{N} is a single token.
+    ("123 images", ["1", "2", "3", "images"]),
+    # superscript two is \p{N} (category No) — a number, not a letter
+    # (Python's [^\W\d_] fallback wrongly treats it as a letter).
+    ("x²", ["x", "²"]),
+    ("café naïve", ["café", "naïve"]),
+    # CJK letters form one \p{L}+ run.
+    ("日本語 photo", ["日本語", "photo"]),
+    ("wow!!!", ["wow", "!!!"]),
+    # greedy punct run swallows the apostrophe when no contraction matches.
+    ("!!!'s", ["!!!'", "s"]),
+    ("'x", ["'", "x"]),
+    ("<|startoftext|>hello<|endoftext|>",
+     ["<|startoftext|>", "hello", "<|endoftext|>"]),
+    ("a-b c/d", ["a", "-", "b", "c", "/", "d"]),
+]
+
+
+def test_clip_word_split_goldens():
+    for text, want in WORD_SPLIT_GOLDENS:
+        assert clip_word_split(text) == want, text
+
+
+# (raw caption text -> cleaned+lowercased+split) through the FULL cleanup:
+# fix_text (ftfy equivalent) + double unescape + whitespace collapse + lower.
+CLEAN_SPLIT_GOLDENS = [
+    # curly apostrophe U+2019 must uncurl so the contraction rule fires
+    # (ftfy uncurl_quotes).
+    ("don’t stop", ["don", "'t", "stop"]),
+    # UTF-8-as-latin1 mojibake repaired before splitting.
+    ("The cafÃ© is nice", ["the", "café", "is", "nice"]),
+    # double-escaped HTML entity (reference unescapes twice).
+    ("a &amp;amp; b", ["a", "&", "b"]),
+    # ligature + fullwidth folding.
+    ("ﬁre！", ["fire", "!"]),
+    ("  lots\tof\nwhitespace  ", ["lots", "of", "whitespace"]),
+]
+
+
+def test_clean_then_split_goldens():
+    for text, want in CLEAN_SPLIT_GOLDENS:
+        cleaned = _whitespace_clean(_basic_clean(text)).lower()
+        assert clip_word_split(cleaned) == want, (text, cleaned)
 
 
 def test_bytes_to_unicode_reversible():
