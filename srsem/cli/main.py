@@ -66,8 +66,7 @@ def cmd_score(args) -> int:
 
     df = pd.read_csv(args.pairs_csv)
     pairs = list(zip(df[args.col_a], df[args.col_b]))
-    scorer = PairScorer(cfg, variables, batch_size=args.batch_size,
-                        use_fused_kernel=args.fused)
+    scorer = PairScorer(cfg, variables, batch_size=args.batch_size)
     scores = scorer.score_paths(pairs)
     df["score"] = scores
     df.to_csv(args.out, index=False)
@@ -405,8 +404,6 @@ def main(argv=None) -> int:
     p.add_argument("--backbone", default="resnet50")
     p.add_argument("--checkpoint")
     p.add_argument("--batch-size", type=int, default=64)
-    p.add_argument("--fused", action="store_true",
-                   help="use the Pallas fused scoring kernel")
     p.add_argument("--out", default="scores.csv")
     p.add_argument("--set", action="append", default=[])
     p.set_defaults(fn=cmd_score)

@@ -103,6 +103,10 @@ class LocalModelConfig:
     backbone: BackboneConfig = field(default_factory=lambda: BackboneConfig(kind="resnet50_clip"))
     v2: bool = False
     lora_rank: Optional[Union[int, str]] = None
+    # Decoder conv/upsample compute dtype: "float32" is the torch-parity
+    # default; "bfloat16" is the serving mode (measured faster on v5e,
+    # BENCH_NOTES.md round 2; maps agree to ~1e-2).
+    decoder_dtype: str = "float32"
 
     @property
     def full_finetune(self) -> bool:

@@ -44,7 +44,6 @@ class PairScorer:
         batch_size: int = 64,
         model_kind: str = "global",
         num_workers: int = 16,
-        use_fused_kernel: bool = False,
         decode_backend: str = "pil",
     ):
         self.cfg = cfg
@@ -66,33 +65,17 @@ class PairScorer:
         repl = replicated_sharding(self.mesh)
         data = batch_sharding(self.mesh)
         pre = self.preprocess
-        fused = (use_fused_kernel and model_kind == "global"
-                 and cfg.head == "stages_cnn")
 
+        # Serving uses dense XLA only: the Pallas fused-head kernel
+        # (srsem/ops/fused_head.py) measured slower at every published
+        # config (224px b128: 4.96k vs 5.86k pairs/s; 512px b16: 714 vs
+        # 820) — XLA's own fusion of diff²→1x1-conv→mean into the backbone
+        # epilogue wins.  The kernel remains as a verified experiment.
         def score_batch(variables, a_u8, b_u8):
             a = pre.device_normalize(a_u8)
             b = pre.device_normalize(b_u8)
             if model_kind == "local":
                 return self.model.apply(variables, a, b, train=False)
-            if fused:
-                # Pallas path: backbone taps → fused diff²/head/mean kernel
-                # (srsem/ops/fused_head.py); numerically identical to the
-                # dense aggregator.
-                from srsem.backbones.resnet import make_backbone
-                from srsem.models.global_models import stage_taps_for
-                from srsem.ops.fused_head import fused_global_score
-
-                backbone = make_backbone(cfg.backbone)
-                n = a.shape[0]
-                _, taps = backbone.apply(
-                    {"params": variables["params"]["backbone"]},
-                    jnp.concatenate([a, b], axis=0))
-                names = stage_taps_for(cfg.backbone.kind, cfg.depth)
-                taps_a = {k: taps[k][:n] for k in names}
-                taps_b = {k: taps[k][n:] for k in names}
-                return fused_global_score(
-                    taps_a, taps_b, variables["params"]["aggregator"], names,
-                    interpret=jax.default_backend() != "tpu")
             return self.model.apply(variables, a, b)
 
         self._score_batch = jax.jit(

@@ -91,7 +91,10 @@ class DecoderBlock(nn.Module):
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=jnp.float32,
                              param_dtype=jnp.float32, name="bn2")(x)
-        return nn.relu(x.astype(jnp.float32))
+        # Stay in the decoder compute dtype between blocks: in bf16 serving
+        # mode the upsample/concat traffic halves (the f32 parity default is
+        # unchanged — dtype is f32 there).
+        return nn.relu(x.astype(self.dtype))
 
 
 class CluUnet(nn.Module):
@@ -157,11 +160,14 @@ class CluUnet(nn.Module):
         """Diff + UNet decode over precomputed backbone taps — lets the
         dataset-sweep scorer share ONE frozen-tower pass between the global
         head and this decoder (srsem/eval/dataset_sweep.py)."""
+        dd = self.decoder_dtype
         diffs: List[Array] = []
         for name in self.tap_names:
             fa = taps_a[name].astype(jnp.float32)
             fb = taps_b[name].astype(jnp.float32)
-            diffs.append((fa - fb) ** 2)
+            # Subtraction in f32 (bf16 cancellation is the risky part),
+            # then the decoder's compute dtype for storage/concat.
+            diffs.append(((fa - fb) ** 2).astype(dd))
 
         if self.v2:
             # Pixel-space squared error, one channel, resized per level
@@ -171,20 +177,23 @@ class CluUnet(nn.Module):
                 axis=-1, keepdims=True)
             diffs = [
                 jnp.concatenate(
-                    [d, resize_bilinear_mxu(img_sq, d.shape[1:3], align_corners=False)],
+                    [d, resize_bilinear_mxu(
+                        img_sq, d.shape[1:3],
+                        align_corners=False).astype(dd)],
                     axis=-1)
                 for d in diffs
             ]
 
-        # Decode deepest→shallowest (reference :117-124).
+        # Decode deepest→shallowest (reference :117-124).  Upsample einsums
+        # run in the decoder dtype (f32 parity default; bf16 serving mode).
         h = self.decoder[-1](diffs[-1], train)
-        h = upsample_x2_align_corners(h)
+        h = upsample_x2_align_corners(h, compute_dtype=dd)
         for lvl in range(len(diffs) - 2, -1, -1):
             h = jnp.concatenate([diffs[lvl], h], axis=-1)
             h = self.decoder[lvl](h, train)
-            h = upsample_x2_align_corners(h)
+            h = upsample_x2_align_corners(h, compute_dtype=dd)
 
-        h = h[..., 0]  # (N, H, W)
+        h = h[..., 0].astype(jnp.float32)  # (N, H, W)
         return jax.nn.sigmoid(h) if self.sigmoid else h
 
 
@@ -195,4 +204,5 @@ def make_local_model(cfg: LocalModelConfig) -> CluUnet:
         lora_rank=cfg.lora_rank,
         compute_dtype=jnp.dtype(cfg.backbone.compute_dtype),
         image_size=cfg.backbone.image_size,
+        decoder_dtype=jnp.dtype(getattr(cfg, "decoder_dtype", "float32")),
     )

@@ -1,5 +1,13 @@
 """Pallas kernel: fused squared-diff → 1x1-conv head → spatial-sum.
 
+STATUS: documented experiment, NOT the serving path.  Measured on v5e
+(BENCH_r02): 224px b128 4.96k vs dense 5.86k pairs/s; 512px b16 714 vs
+820 — XLA's own epilogue fusion wins at every published config, so the
+serving flag was removed (VERDICT r1 next-step #7).  The kernel stays as
+verified, numerically-identical Pallas reference code (tested in
+tests/test_fused_head.py, interpret-mode off-TPU); both multi-image block
+variants crash the Mosaic compiler on this toolchain (TODO.md r1 #2).
+
 The global regressor's head computes, per tapped stage,
 ``mean_hw((f_a - f_b)^2 · w) + b`` (reference numerics:
 models/global_eval_models.py:379-392).  Left to XLA this materializes the

@@ -111,28 +111,34 @@ def _resize_matrix(out_size: int, in_size: int, align_corners: bool) -> Array:
 
 
 def resize_bilinear_mxu(x: Array, out_hw: Tuple[int, int],
-                        align_corners: bool = False) -> Array:
-    """Matmul formulation of ``resize_bilinear`` (numerically identical):
-    y = W_h · x · W_wᵀ per channel.  NHWC only."""
+                        align_corners: bool = False,
+                        compute_dtype=jnp.float32) -> Array:
+    """Matmul formulation of ``resize_bilinear`` (numerically identical in
+    the default f32 compute): y = W_h · x · W_wᵀ per channel.  NHWC only.
+    ``compute_dtype=bfloat16`` halves the einsum traffic for serving-mode
+    decoders (opt-in; interpolation weights are exact in bf16 only for
+    power-of-two fractions, so parity paths keep f32)."""
     out_h, out_w = out_hw
     n, h, w, c = x.shape
     if (h, w) == (out_h, out_w):
         return x
-    wh = _resize_matrix(out_h, h, align_corners)
-    ww = _resize_matrix(out_w, w, align_corners)
+    wh = _resize_matrix(out_h, h, align_corners).astype(compute_dtype)
+    ww = _resize_matrix(out_w, w, align_corners).astype(compute_dtype)
     dtype = x.dtype
-    y = jnp.einsum("oh,nhwc->nowc", wh, x.astype(jnp.float32))
+    y = jnp.einsum("oh,nhwc->nowc", wh, x.astype(compute_dtype))
     y = jnp.einsum("pw,nowc->nopc", ww, y)
     return y.astype(dtype)
 
 
-def upsample_x2_align_corners(x: Array, use_mxu: bool = True) -> Array:
+def upsample_x2_align_corners(x: Array, use_mxu: bool = True,
+                              compute_dtype=jnp.float32) -> Array:
     """The UNet's ×2 upsampler — torch ``nn.UpsamplingBilinear2d(2)``
     (align_corners=True) (reference: models/local_eval_models.py:84,124).
     Defaults to the matmul formulation (MXU) inside jitted decoders."""
     n, h, w, c = x.shape
     if use_mxu:
-        return resize_bilinear_mxu(x, (2 * h, 2 * w), align_corners=True)
+        return resize_bilinear_mxu(x, (2 * h, 2 * w), align_corners=True,
+                                   compute_dtype=compute_dtype)
     return resize_bilinear(x, (2 * h, 2 * w), align_corners=True)
 
 

@@ -1,0 +1,88 @@
+"""Grouped GT-vs-K-SR scorer: numerics equal the pairwise scorer, with
+(1+K)/(2K) of the tower passes (srsem/eval/grouped.py)."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from srsem.core.config import BackboneConfig, GlobalModelConfig
+from srsem.eval.grouped import GroupedPairScorer
+from srsem.eval.scorer import PairScorer
+from srsem.models.global_models import make_global_model
+
+
+@pytest.fixture(scope="module")
+def setup():
+    import jax.numpy as jnp
+
+    cfg = GlobalModelConfig(
+        backbone=BackboneConfig(kind="resnet50", image_size=64,
+                                compute_dtype="float32"),
+        head="stages_cnn", depth=2)
+    model = make_global_model(cfg)
+    z = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(3), z, z)
+    return cfg, variables
+
+
+@pytest.mark.slow
+def test_grouped_matches_pairwise(setup):
+    cfg, variables = setup
+    k, g = 3, 4
+    rng = np.random.default_rng(0)
+    gt = rng.integers(0, 256, (g, 64, 64, 3), dtype=np.uint8)
+    sr = rng.integers(0, 256, (g, k, 64, 64, 3), dtype=np.uint8)
+
+    grouped = GroupedPairScorer(cfg, variables, k=k, batch_size=g)
+    got = np.asarray(jax.device_get(grouped.score_arrays(gt, sr)))
+    assert got.shape == (g, k)
+
+    pair = PairScorer(cfg, variables, batch_size=16)
+    a = np.repeat(gt, k, axis=0)
+    b = sr.reshape(g * k, 64, 64, 3)
+    pad = 16 - g * k  # pad to the mesh-divisible pairwise batch
+    a = np.concatenate([a, np.zeros((pad,) + a.shape[1:], a.dtype)])
+    b = np.concatenate([b, np.zeros((pad,) + b.shape[1:], b.dtype)])
+    want = np.asarray(jax.device_get(pair.score_arrays(a, b)))[: g * k]
+    np.testing.assert_allclose(got.reshape(-1), want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_grouped_folder_set(setup, tmp_path):
+    cfg, variables = setup
+    rng = np.random.default_rng(1)
+    gt_dir = tmp_path / "HQ"
+    gt_dir.mkdir()
+    sr_dirs = []
+    for m in range(2):
+        d = tmp_path / f"sr{m}"
+        d.mkdir()
+        sr_dirs.append(str(d))
+    for i in range(3):
+        arr = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(gt_dir / f"im{i}.png")
+        for m in range(2):
+            noisy = np.clip(arr + rng.integers(-25, 25, arr.shape), 0, 255)
+            Image.fromarray(noisy.astype(np.uint8)).save(
+                tmp_path / f"sr{m}" / f"im{i}.png")
+    # corrupt one SR file → NaN row
+    (tmp_path / "sr0" / "im2.png").write_bytes(b"broken")
+
+    scorer = GroupedPairScorer(cfg, variables, k=2, batch_size=4)
+    df = scorer.score_folder_set(str(gt_dir), sr_dirs)
+    assert len(df) == 3
+    assert {"sr0", "sr1"} <= set(df.columns)
+    assert np.isnan(df.loc[df.image_name == "im2", "sr0"]).all()
+    good = df[df.image_name != "im2"]
+    assert np.isfinite(good[["sr0", "sr1"]].to_numpy()).all()
+
+
+def test_grouped_rejects_mlp_heads(setup):
+    cfg, variables = setup
+    import dataclasses
+
+    bad = dataclasses.replace(cfg, head="emb_lin")
+    with pytest.raises(ValueError):
+        GroupedPairScorer(bad, variables, k=2)

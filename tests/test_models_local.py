@@ -92,3 +92,33 @@ def test_lora_zero_init_preserves_frozen_forward(rng):
     out_lora = lora.apply(vs_lora, a, b, train=False)
     np.testing.assert_allclose(
         np.asarray(out_base), np.asarray(out_lora), atol=1e-6)
+
+
+def test_bf16_decoder_matches_f32_maps(rng):
+    """The bf16 serving decoder (decoder_dtype="bfloat16") must agree with
+    the f32 parity path to bf16 precision: same params, same inputs."""
+    import dataclasses
+
+    cfg32 = LocalModelConfig(
+        backbone=BackboneConfig(kind="resnet50_clip", image_size=64,
+                                compute_dtype="float32"))
+    cfg16 = dataclasses.replace(cfg32, decoder_dtype="bfloat16")
+    m32 = make_local_model(cfg32)
+    m16 = make_local_model(cfg16)
+    a = jax.random.uniform(rng, (2, 64, 64, 3))
+    b = jax.random.uniform(jax.random.PRNGKey(5), (2, 64, 64, 3))
+    vs = m32.init(rng, a, b, train=False)
+    out32 = np.asarray(m32.apply(vs, a, b, train=False))
+    out16 = np.asarray(m16.apply(vs, a, b, train=False))
+    assert out16.dtype == np.float32  # map output stays f32
+    # bf16 error is heavy-tailed through 10 random-init conv layers, so the
+    # contract is statistical (maps are consumed through quantile
+    # binarization / overlays): bulk agreement + rank correlation.
+    err = np.abs(out16 - out32)
+    assert np.mean(err) < 5e-3, float(np.mean(err))
+    assert np.mean(err < 2e-2) > 0.95, float(np.mean(err < 2e-2))
+    corr = np.corrcoef(out16.ravel(), out32.ravel())[0, 1]
+    assert corr > 0.995, corr
+    # and the parity default is bit-stable against itself
+    np.testing.assert_array_equal(
+        out32, np.asarray(m32.apply(vs, a, b, train=False)))
