@@ -337,6 +337,40 @@ def cmd_sweep_dataset(args) -> int:
     return 0
 
 
+def cmd_score_groups(args) -> int:
+    """Grouped GT-vs-K-SR scoring: one shared GT tower pass per group —
+    the fast path for the 10k-pair sweep workload (srsem/eval/grouped.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from srsem.core.config import BackboneConfig, GlobalModelConfig
+    from srsem.eval.grouped import GroupedPairScorer
+    from srsem.models.global_models import make_global_model
+
+    cfg = GlobalModelConfig(
+        backbone=BackboneConfig(kind=args.backbone,
+                                image_size=args.image_size),
+        head="stages_cnn", depth=args.depth)
+    model = make_global_model(cfg)
+    size = cfg.backbone.image_size
+    z = jnp.zeros((1, size, size, 3))
+    variables = model.init(jax.random.PRNGKey(0), z, z)
+    if args.checkpoint:
+        from srsem.train.checkpoint import restore_checkpoint
+        from srsem.train.partition import merge_params
+
+        restored = restore_checkpoint(args.checkpoint)
+        variables = {"params": merge_params(
+            restored["trainable"], variables["params"])}
+    scorer = GroupedPairScorer(cfg, variables, k=len(args.sr_folders),
+                               batch_size=args.batch_size)
+    df = scorer.score_folder_set(args.gt_folder, args.sr_folders)
+    df.to_csv(args.out, index=False)
+    print(json.dumps({"groups": len(df), "sr_models": len(args.sr_folders),
+                      "out": args.out}))
+    return 0
+
+
 def cmd_folder_metrics(args) -> int:
     from srsem.eval.folder_metrics import ImageQualityMetrics, run_folder_sweep
 
@@ -497,6 +531,18 @@ def main(argv=None) -> int:
     p.add_argument("--out-csv", default="filt_refs.csv")
     p.add_argument("--embedder", default="hashing")
     p.set_defaults(fn=cmd_maps_build)
+
+    p = sub.add_parser("score-groups", help="score each GT against K SR "
+                       "folders with one shared GT tower pass per group")
+    p.add_argument("gt_folder")
+    p.add_argument("sr_folders", nargs="+")
+    p.add_argument("--backbone", default="resnet50")
+    p.add_argument("--depth", type=int, default=3)
+    p.add_argument("--checkpoint")
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--out", default="group_scores.csv")
+    p.set_defaults(fn=cmd_score_groups)
 
     p = sub.add_parser("sweep-dataset")
     p.add_argument("gt_folder")

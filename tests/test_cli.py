@@ -62,3 +62,28 @@ def test_folder_metrics_cli(tmp_path):
     assert len(df) == 3
     assert df["SSIM"].notna().all()
     assert (df["SSIM"] < 1.0).all() and (df["SSIM"] > 0.0).all()
+
+
+def test_score_groups_cli(tmp_path):
+    rng = np.random.default_rng(3)
+    gt = tmp_path / "HQ"
+    gt.mkdir()
+    srs = []
+    for m in range(2):
+        d = tmp_path / f"model{m}"
+        d.mkdir()
+        srs.append(str(d))
+    for i in range(2):
+        arr = rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(gt / f"{i}.png")
+        for m in range(2):
+            Image.fromarray(
+                np.clip(arr + rng.integers(-15, 15, arr.shape), 0, 255)
+                .astype(np.uint8)).save(tmp_path / f"model{m}" / f"{i}.png")
+    out = str(tmp_path / "groups.csv")
+    rc = main(["score-groups", str(gt), *srs, "--batch-size", "2",
+               "--image-size", "64", "--out", out])
+    assert rc == 0
+    df = pd.read_csv(out)
+    assert len(df) == 2
+    assert {"model0", "model1"} <= set(df.columns)
