@@ -262,6 +262,24 @@ def main() -> None:
         note("dual_global_plus_map",
              _throughput(lambda *args: dual_jit(*args)[0],
                          (cvars, lvars2, da, dbb), db, 40))
+
+        # Grouped dual (GT tower pass shared across K SR outputs for BOTH
+        # heads — srsem/eval/dataset_sweep.py::score_group_arrays).
+        from srsem.eval.dataset_sweep import DualScorer
+
+        Kd, Gd = 5, 8
+        dual_scorer = DualScorer(ccfg, lcfg2, jax.device_get(cvars),
+                                 jax.device_get(lvars2), mesh=mesh,
+                                 batch_size=Gd)
+        gt_d = jax.device_put(
+            host.integers(0, 256, (Gd, size, size, 3), dtype=np.uint8), data)
+        sr_d = jax.device_put(
+            host.integers(0, 256, (Gd, Kd, size, size, 3), dtype=np.uint8),
+            data)
+        note("dual_grouped_gt5",
+             _throughput(lambda a, b: dual_scorer._score_groups(
+                 dual_scorer._gvars, dual_scorer._lvars, a, b)[0],
+                         (gt_d, sr_d), Gd * Kd, 20))
     except Exception as e:
         print(json.dumps({"bench": "dual_global_plus_map", "error": str(e)[:300]}),
               file=sys.stderr, flush=True)

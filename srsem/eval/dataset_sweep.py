@@ -101,6 +101,61 @@ class DualScorer:
         self._gvars = jax.device_put(global_variables, repl)
         self._lvars = jax.device_put(local_variables, repl)
 
+        # Grouped GT-vs-K-SR dual scoring: one GT tower pass per group
+        # serves BOTH the global head and the CLU decoder for all K SR
+        # outputs ((1+K)/(2K) of the tower passes — srsem/eval/grouped.py
+        # has the global-only analysis).  jit built lazily per K.
+        def score_groups(gvars, lvars, gt_u8, sr_u8):
+            from srsem.models.global_models import (ConvHeadAggregator,
+                                                    squared_diffs)
+
+            g, k = sr_u8.shape[0], sr_u8.shape[1]
+            gt = pre.device_normalize(gt_u8)
+            sr = pre.device_normalize(sr_u8.reshape((g * k,) + sr_u8.shape[2:]))
+            _, taps = backbone.apply(
+                {"params": gvars["params"]["backbone"]},
+                jnp.concatenate([gt, sr], axis=0))
+            taps_a = {kk: jnp.repeat(v[:g], k, axis=0)
+                      for kk, v in taps.items()}
+            taps_b = {kk: v[g:] for kk, v in taps.items()}
+            diffs = squared_diffs(taps_a, taps_b, tap_names)
+            agg = ConvHeadAggregator(len(tap_names))
+            scores = agg.apply({"params": gvars["params"]["aggregator"]}, diffs)
+            gt_tiled = jnp.repeat(gt, k, axis=0)
+            maps = lmodel.apply(
+                {"params": {**lvars["params"],
+                            "backbone": gvars["params"]["backbone"]},
+                 **({"batch_stats": lvars["batch_stats"]}
+                    if "batch_stats" in lvars else {})},
+                gt_tiled, sr, train=False,
+                method=lambda m, a_, b_, train: m.decode_from_taps(
+                    taps_a, taps_b, a_, b_, train))
+            return (scores.reshape(g, k),
+                    maps.reshape((g, k) + maps.shape[1:]))
+
+        self._score_groups = jax.jit(
+            score_groups, in_shardings=(repl, repl, data, data),
+            out_shardings=(data, data))
+
+    def score_group_arrays(self, gt_u8: np.ndarray,
+                           sr_u8: np.ndarray):
+        """(G,H,W,3) GT + (G,K,H,W,3) SR → ((G,K) scores, (G,K,H,W) maps)
+        with one shared GT tower pass per group.  G is padded up to a
+        multiple of the data axis."""
+        g = gt_u8.shape[0]
+        n_data = self.mesh.shape["data"]
+        pad = (-g) % n_data
+        if pad:
+            gt_u8 = np.concatenate(
+                [gt_u8, np.zeros((pad,) + gt_u8.shape[1:], gt_u8.dtype)])
+            sr_u8 = np.concatenate(
+                [sr_u8, np.zeros((pad,) + sr_u8.shape[1:], sr_u8.dtype)])
+        data = batch_sharding(self.mesh)
+        scores, maps = self._score_groups(
+            self._gvars, self._lvars,
+            jax.device_put(gt_u8, data), jax.device_put(sr_u8, data))
+        return scores[:g], maps[:g]
+
     def score_folders(self, gt_folder: str, sr_folder: str,
                       exts=(".jpg", ".png"),
                       map_reduce: str = "mean") -> "pd.DataFrame":

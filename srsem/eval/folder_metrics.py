@@ -54,11 +54,16 @@ class ImageQualityMetrics:
     with ``lpips_params`` when given — the converted official checkpoint).
     """
 
-    def __init__(self, image_size: int = 224, batch_size: int = 32,
+    def __init__(self, image_size: Optional[int] = 224, batch_size: int = 32,
                  koniqpp: Optional[Callable] = None,
                  lpips_fn: Optional[Callable] = None,
                  lpips_params: Optional[dict] = None,
                  lpips_net: str = "alex"):
+        """``image_size=None`` scores at NATIVE resolution like the
+        reference (pyiqa loads full-size images —
+        1_compute_image_metrics.py:34-41); batches group by shape, so a
+        folder of uniform-size images still runs as one compiled program.
+        An int forces a square resize (useful for mixed-size folders)."""
         self.image_size = image_size
         self.batch_size = batch_size
         self.koniqpp = koniqpp
@@ -66,7 +71,7 @@ class ImageQualityMetrics:
             from srsem.eval.lpips import make_lpips
 
             lpips_fn = make_lpips(net=lpips_net, params=lpips_params,
-                                  image_size=image_size)
+                                  image_size=image_size or 224)
         self.lpips_fn = lpips_fn
 
         @jax.jit
@@ -76,8 +81,9 @@ class ImageQualityMetrics:
         self._classical = _classical
 
     def _load(self, path: str) -> np.ndarray:
-        img = Image.open(path).convert("RGB").resize(
-            (self.image_size, self.image_size), Image.BICUBIC)
+        img = Image.open(path).convert("RGB")
+        if self.image_size is not None:
+            img = img.resize((self.image_size, self.image_size), Image.BICUBIC)
         return np.asarray(img, np.float32) / 255.0
 
     def batch(self, gt_paths: Sequence[str], eval_paths: Sequence[str],
@@ -99,8 +105,21 @@ class ImageQualityMetrics:
                    **{c: np.nan for c in KONIQPP_COLUMNS}}
         rows = [dict(nan_row) for _ in decoded]
 
-        for start in range(0, len(ok_idx), self.batch_size):
-            chunk = ok_idx[start: start + self.batch_size]
+        batched_nr = getattr(self.koniqpp, "batch", None)
+        # Bucket by shape (native-resolution mode: one bucket per image
+        # size; the fixed-size mode degenerates to a single bucket).
+        # A pair whose two images disagree in shape keeps its NaN row —
+        # the reference's pyiqa call would raise there too (:119-134).
+        buckets: Dict[tuple, List[int]] = {}
+        for i in ok_idx:
+            g, e = decoded[i]
+            if g.shape != e.shape:
+                continue
+            buckets.setdefault(g.shape, []).append(i)
+        chunks = [idxs[s: s + self.batch_size]
+                  for idxs in buckets.values()
+                  for s in range(0, len(idxs), self.batch_size)]
+        for chunk in chunks:
             gt = jnp.asarray(np.stack([decoded[i][0] for i in chunk]))
             ev = jnp.asarray(np.stack([decoded[i][1] for i in chunk]))
             ssim_v, psnr_v = self._classical(gt, ev)
@@ -109,7 +128,17 @@ class ImageQualityMetrics:
                 rows[i]["SSIM"] = float(ssim_v[j])
                 rows[i]["PSNR"] = float(psnr_v[j])
                 rows[i]["LPIPS"] = float(lpips_v[j])
-        if self.koniqpp is not None:
+            if batched_nr is not None:
+                # NR-IQA rides the already-decoded eval batch on device
+                # (ImageNet-normalized, the head's training-time input —
+                # srsem/train/nr_iqa.py) instead of a per-path re-decode.
+                from srsem.ops.image import IMAGENET_MEAN, IMAGENET_STD, normalize
+
+                nr = np.asarray(batched_nr(
+                    normalize(ev, IMAGENET_MEAN, IMAGENET_STD)))
+                for j, i in enumerate(chunk):
+                    rows[i].update(dict(zip(KONIQPP_COLUMNS, nr[j].tolist())))
+        if self.koniqpp is not None and batched_nr is None:
             for i in ok_idx:
                 try:
                     rows[i].update(self.koniqpp(eval_paths[i]))

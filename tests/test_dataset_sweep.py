@@ -75,7 +75,10 @@ def test_nr_iqa_head_outputs_and_frozen_backbone(rng, tmp_path):
     assert out.shape == (2, 5)
 
     def loss(p):
-        return jnp.sum(model.apply({"params": p}, x) ** 2)
+        # Linear in the outputs: the head's final layer is zero-initialized
+        # (srsem/eval/nr_iqa.py), so a squared loss would have zero grad at
+        # init; sum(out) still exercises the full trainable path.
+        return jnp.sum(model.apply({"params": p}, x))
 
     g = jax.grad(loss)(vs["params"])
     backbone_norm = sum(
@@ -94,3 +97,45 @@ def test_nr_iqa_head_outputs_and_frozen_backbone(rng, tmp_path):
     scores = scorer(img_path)
     assert set(scores) == set(OUTPUT_NAMES)
     assert all(np.isfinite(v) for v in scores.values())
+
+
+@pytest.mark.slow
+def test_dual_grouped_matches_pairwise(rng):
+    """Grouped dual scoring (shared GT tower pass) equals per-pair dual
+    scoring for both the global scores and the CLU maps."""
+    bb = BackboneConfig(kind="resnet50_clip", image_size=64,
+                        compute_dtype="float32")
+    gcfg = GlobalModelConfig(backbone=bb, head="stages_cnn", depth=3)
+    lcfg = LocalModelConfig(backbone=bb)
+    z = jnp.zeros((1, 64, 64, 3))
+    gvars = make_global_model(gcfg).init(rng, z, z)
+    lvars = make_local_model(lcfg).init(jax.random.PRNGKey(1), z, z, train=False)
+
+    scorer = DualScorer(gcfg, lcfg, gvars, lvars, batch_size=8)
+    r = np.random.default_rng(2)
+    g, k = 4, 2
+    gt = r.integers(0, 256, (g, 64, 64, 3), dtype=np.uint8)
+    sr = r.integers(0, 256, (g, k, 64, 64, 3), dtype=np.uint8)
+
+    scores_g, maps_g = scorer.score_group_arrays(gt, sr)
+    scores_g = np.asarray(jax.device_get(scores_g))
+    maps_g = np.asarray(jax.device_get(maps_g))
+    assert scores_g.shape == (g, k)
+    assert maps_g.shape == (g, k, 64, 64)
+
+    from srsem.core.meshes import batch_sharding
+
+    data = batch_sharding(scorer.mesh)
+    a = np.repeat(gt, k, axis=0)
+    b = sr.reshape(g * k, 64, 64, 3)
+    scores_p, maps_p = scorer._score_both(
+        scorer._gvars, scorer._lvars,
+        jax.device_put(a, data), jax.device_put(b, data))
+    # Different batch shapes compile to different accumulation orders;
+    # observed drift is ~3e-4 relative through the 50-layer tower.
+    np.testing.assert_allclose(scores_g.reshape(-1),
+                               np.asarray(jax.device_get(scores_p)),
+                               rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(maps_g.reshape(g * k, 64, 64),
+                               np.asarray(jax.device_get(maps_p)),
+                               rtol=2e-3, atol=1e-2)

@@ -82,3 +82,23 @@ def test_train_nr_iqa_end_to_end(tmp_path):
     scores = scorer(str(p))
     assert set(scores) == set(OUTPUT_NAMES)
     assert all(np.isfinite(v) for v in scores.values())
+
+    # Batched integration: ImageQualityMetrics rides the decoded eval batch
+    # through scorer.batch, filling the five Koniq++ columns without NaNs.
+    from srsem.eval.folder_metrics import ImageQualityMetrics
+
+    gt_dir = tmp_path / "gt"
+    ev_dir = tmp_path / "ev"
+    gt_dir.mkdir()
+    ev_dir.mkdir()
+    for i in range(2):
+        Image.fromarray((imgs[i] * 255).astype(np.uint8)).save(
+            gt_dir / f"{i}.png")
+        Image.fromarray((imgs[i + 2] * 255).astype(np.uint8)).save(
+            ev_dir / f"{i}.png")
+    calc = ImageQualityMetrics(image_size=64, batch_size=2, koniqpp=scorer)
+    rows = calc.batch([str(gt_dir / "0.png"), str(gt_dir / "1.png")],
+                      [str(ev_dir / "0.png"), str(ev_dir / "1.png")])
+    for row in rows:
+        for col in OUTPUT_NAMES:
+            assert np.isfinite(row[col]), (col, row)
