@@ -177,6 +177,33 @@ def cmd_train_clu(args) -> int:
 
 
 def cmd_sweep_global(args) -> int:
+    if args.shared_tower:
+        # All depth-grid points train on ONE frozen-tower stream
+        # (srsem/train/multisweep.py) — the ~3x-cheaper sweep mode.
+        from srsem.core.config import (BackboneConfig, GlobalModelConfig,
+                                       TrainConfig)
+        from srsem.data.datasets import Subset, UserStudyScores, seeded_split
+        from srsem.data.loader import Loader
+        from srsem.data.preprocess import Preprocess
+        from srsem.train.multisweep import (depth_grid,
+                                            train_global_sweep_shared_tower)
+
+        tcfg = TrainConfig()
+        cfg = GlobalModelConfig(
+            backbone=BackboneConfig(kind=args.backbone),
+            head="stages_cnn", depth=3)
+        pre = Preprocess.for_backbone(args.backbone, cfg.backbone.image_size)
+        ds = UserStudyScores(args.csv, args.root, pre)
+        tr, va = seeded_split(len(ds), tcfg.val_fraction, tcfg.seed)
+        results = train_global_sweep_shared_tower(
+            depth_grid(), cfg, tcfg,
+            Loader(Subset(ds, tr), tcfg.batch_size, shuffle=True,
+                   seed=tcfg.seed),
+            Loader(Subset(ds, va), tcfg.batch_size))
+        print(json.dumps([{"name": r["name"], "val_srcc": r["val_srcc"],
+                           "val_mse": r["val_mse"]} for r in results]))
+        return 0
+
     from srsem.train.sweep import GLOBAL_SWEEP, make_global_train_fn, run_sweep
 
     results = run_sweep(
@@ -478,6 +505,8 @@ def main(argv=None) -> int:
     p.add_argument("root")
     p.add_argument("--backbone", default="resnet50_clip")
     p.add_argument("--summary", default="sweep_global.jsonl")
+    p.add_argument("--shared-tower", action="store_true",
+                   help="train all depth points on one frozen-tower stream")
     p.set_defaults(fn=cmd_sweep_global)
 
     p = sub.add_parser("sweep-clu")

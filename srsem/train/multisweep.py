@@ -1,0 +1,193 @@
+"""Shared-tower sweep training: N sweep points, ONE frozen-tower pass.
+
+The reference parallelizes its hyperparameter sweeps by forking one
+process per GPU and letting each wandb agent train one grid point
+(reference: CLU_training_sweep_example.py:184-197).  On TPU the natural
+replacement is not N processes — it is ONE jitted step that runs the
+frozen backbone once per batch and trains ALL points' heads on the shared
+tap pyramid.  For the global depth sweep (reference:
+CLIPLPIPS_REG_training_sweep_example.py:107-114 — depth ∈ {1,2,3}, same
+data, same split) the tower is ~99% of the step cost, so the 3-point
+sweep trains for about the price of one run.
+
+Applicability: points must share the input batches.  The global depth
+grid does by construction; label-space dimensions (e.g. the CLU
+``threshold`` binarization) are supported through per-point
+``label_transform`` callables applied inside the jitted step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from srsem.backbones.resnet import make_backbone
+from srsem.core.config import GlobalModelConfig, TrainConfig
+from srsem.core.meshes import create_mesh, replicate, shard_batch
+from srsem.models.global_models import (
+    ConvHeadAggregator,
+    squared_diffs,
+    stage_taps_for,
+    wperlay_taps,
+)
+from srsem.train.metrics import mse as mse_metric, srcc
+from srsem.train.steps import masked_mse
+
+
+@dataclasses.dataclass
+class SweepPoint:
+    """One grid point: a head over a tap subset + optional label map."""
+
+    name: str
+    depth: int
+    head: str = "stages_cnn"
+    label_transform: Optional[Callable] = None  # jnp labels -> jnp labels
+
+    def tap_names(self, backbone_kind: str):
+        if self.head == "stages_cnn":
+            return stage_taps_for(backbone_kind, self.depth)
+        if self.head == "wperlay_cnn":
+            return wperlay_taps(self.depth)
+        raise ValueError(
+            f"shared-tower sweep supports conv heads, got {self.head!r}")
+
+
+def depth_grid(depths: Sequence[int] = (1, 2, 3),
+               head: str = "stages_cnn") -> List[SweepPoint]:
+    """The reference's global sweep grid
+    (CLIPLPIPS_REG_training_sweep_example.py:107-114)."""
+    return [SweepPoint(name=f"depth-{d}", depth=d, head=head) for d in depths]
+
+
+def train_global_sweep_shared_tower(
+    points: Sequence[SweepPoint],
+    cfg: GlobalModelConfig,
+    tcfg: TrainConfig,
+    train_loader,
+    val_loader,
+    mesh=None,
+    rng: Optional[jax.Array] = None,
+) -> List[Dict]:
+    """Train every point's head simultaneously over one tower stream.
+
+    Returns one summary dict per point: {name, val_srcc, val_mse,
+    train_loss, head_params}.
+    """
+    mesh = mesh or create_mesh(tcfg.mesh.data_axis, tcfg.mesh.model_axis)
+    rng = rng if rng is not None else jax.random.PRNGKey(tcfg.seed)
+    kind = cfg.backbone.kind
+    backbone = make_backbone(cfg.backbone)
+
+    (a0, b0), y0 = next(iter(train_loader))[0]
+    a0 = jnp.asarray(a0[:1])
+    bvars = backbone.init(rng, a0)
+    bparams = bvars["params"]
+
+    # Per-point heads initialized on real tap shapes.
+    _, taps0 = backbone.apply({"params": bparams}, a0)
+    aggs, head_params = [], []
+    for i, p in enumerate(points):
+        names = p.tap_names(kind)
+        agg = ConvHeadAggregator(len(names))
+        diffs0 = [jnp.zeros_like(taps0[n], jnp.float32) for n in names]
+        hp = agg.init(jax.random.fold_in(rng, i), diffs0)["params"]
+        aggs.append(agg)
+        head_params.append(hp)
+
+    tx = optax.adam(tcfg.lr)
+    opt_states = [tx.init(hp) for hp in head_params]
+
+    tap_union = sorted({n for p in points for n in p.tap_names(kind)})
+
+    @jax.jit
+    def multi_train_step(heads, opts, bp, a, b, y, mask):
+        n = a.shape[0]
+        _, taps = backbone.apply({"params": bp}, jnp.concatenate([a, b]))
+        taps = {k: jax.lax.stop_gradient(v) for k, v in taps.items()
+                if k in tap_union}
+        taps_a = {k: v[:n] for k, v in taps.items()}
+        taps_b = {k: v[n:] for k, v in taps.items()}
+
+        new_heads, new_opts, losses = [], [], []
+        for i, p in enumerate(points):  # static unroll over grid points
+            names = p.tap_names(kind)
+            diffs = squared_diffs(taps_a, taps_b, names)
+            y_i = p.label_transform(y) if p.label_transform else y
+
+            def loss_fn(hp, diffs=diffs, i=i, y_i=y_i):
+                pred = aggs[i].apply({"params": hp}, diffs)
+                return masked_mse(pred, y_i, mask)
+
+            loss, grads = jax.value_and_grad(loss_fn)(heads[i])
+            updates, new_opt = tx.update(grads, opts[i], heads[i])
+            new_heads.append(optax.apply_updates(heads[i], updates))
+            new_opts.append(new_opt)
+            losses.append(loss)
+        return new_heads, new_opts, jnp.stack(losses)
+
+    @jax.jit
+    def multi_eval_step(heads, bp, a, b):
+        n = a.shape[0]
+        _, taps = backbone.apply({"params": bp}, jnp.concatenate([a, b]))
+        taps_a = {k: taps[k][:n] for k in tap_union}
+        taps_b = {k: taps[k][n:] for k in tap_union}
+        preds = []
+        for i, p in enumerate(points):
+            diffs = squared_diffs(taps_a, taps_b, p.tap_names(kind))
+            preds.append(aggs[i].apply({"params": heads[i]}, diffs))
+        return jnp.stack(preds)  # (P, N)
+
+    bparams = replicate(mesh, bparams)
+    head_params = replicate(mesh, head_params)
+    opt_states = replicate(mesh, opt_states)
+
+    last_losses = np.zeros(len(points))
+    for epoch in range(tcfg.epochs):
+        for batch in train_loader:
+            ((a, b), y), mask = batch if isinstance(batch, tuple) and len(batch) == 2 else (batch, None)
+            if mask is None:
+                mask = np.ones((len(y),), np.float32)
+            a, b, y, mask = shard_batch(mesh, (np.asarray(a), np.asarray(b),
+                                               np.asarray(y, np.float32),
+                                               np.asarray(mask, np.float32)))
+            head_params, opt_states, losses = multi_train_step(
+                head_params, opt_states, bparams, a, b, y, mask)
+        last_losses = np.asarray(jax.device_get(losses))
+
+    # Validation: predictions per point over the val stream (padded rows
+    # dropped via the loader's mask).
+    preds_all: List[List[np.ndarray]] = [[] for _ in points]
+    targets: List[np.ndarray] = []
+    for batch in val_loader:
+        ((a, b), y), mask = batch if isinstance(batch, tuple) and len(batch) == 2 else (batch, None)
+        if mask is None:
+            mask = np.ones((len(y),), np.float32)
+        keep = np.asarray(mask) > 0
+        a, b = shard_batch(mesh, (np.asarray(a), np.asarray(b)))
+        preds = np.asarray(jax.device_get(
+            multi_eval_step(head_params, bparams, a, b)))
+        for i in range(len(points)):
+            preds_all[i].append(preds[i][keep])
+        targets.append(np.asarray(y, np.float32)[keep])
+
+    y_true = np.concatenate(targets)
+    results = []
+    heads_host = jax.device_get(head_params)
+    for i, p in enumerate(points):
+        y_pred = np.concatenate(preds_all[i])[: len(y_true)]
+        y_ref = p.label_transform(jnp.asarray(y_true)) if p.label_transform else y_true
+        y_ref = np.asarray(y_ref)
+        results.append({
+            "name": p.name,
+            "train_loss": float(last_losses[i]),
+            "val_srcc": float(srcc(y_pred, y_ref)),
+            "val_mse": float(mse_metric(y_pred, y_ref)),
+            "head_params": heads_host[i],
+        })
+    return results
