@@ -210,6 +210,23 @@ def main() -> None:
 
         t16 = _throughput(score_maps16, (lvars, la, lb), lbatch, 40)
         note("clu_maps_bf16_decoder", t16)
+
+        # Grouped GT-vs-K-SR map scoring: one shared GT tower pass per
+        # group feeds all K decoder runs (srsem/eval/grouped.py::
+        # GroupedMapScorer, diffs via fused broadcast + decode_from_diffs).
+        from srsem.eval.grouped import GroupedMapScorer
+
+        Km, Gm = 5, 8
+        gms = GroupedMapScorer(lcfg, jax.device_get(lvars), k=Km,
+                               mesh=mesh, batch_size=Gm)
+        gt_m = jax.device_put(
+            host.integers(0, 256, (Gm, size, size, 3), dtype=np.uint8), data)
+        sr_m = jax.device_put(
+            host.integers(0, 256, (Gm, Km, size, size, 3), dtype=np.uint8),
+            data)
+        note("clu_grouped_gt5",
+             _throughput(lambda a, b: gms._score(gms._variables, a, b),
+                         (gt_m, sr_m), Gm * Km, 20))
     except Exception as e:
         print(json.dumps({"bench": "clu_maps", "error": str(e)[:300]}),
               file=sys.stderr, flush=True)
@@ -329,6 +346,98 @@ def main() -> None:
     except Exception as e:
         print(json.dumps({"bench": "global_train_step", "error": str(e)[:300]}),
               file=sys.stderr, flush=True)
+
+    # --- secondary: diff-cache sweep training (srsem/train/diffcache.py):
+    # the frozen tower runs ONCE over the dataset; every epoch of every
+    # grid point trains heads on the device-resident diff cache.  Reported
+    # as pairs/sec through one 3-point depth-grid epoch.
+    try:
+        from srsem.backbones.resnet import make_backbone as mk_bb
+        from srsem.train.diffcache import build_diff_cache
+        from srsem.train.multisweep import depth_grid
+        import optax
+
+        from srsem.models.global_models import (ConvHeadAggregator,
+                                                stage_taps_for)
+        from srsem.train.steps import masked_mse
+
+        cb, nb = 64, 4  # 256 cached pairs
+        au = np.asarray(jax.device_get(a_u8))
+        bu = np.asarray(jax.device_get(b_u8))
+        batches = []
+        for i in range(nb):
+            a_np = (au[(i * cb) % 128:][:cb].astype(np.float32) / 255.0)
+            b_np = (bu[(i * cb) % 128:][:cb].astype(np.float32) / 255.0)
+            y_np = np.mean((a_np - b_np) ** 2, axis=(1, 2, 3))
+            batches.append((((a_np, b_np), y_np), np.ones((cb,), np.float32)))
+
+        bb = mk_bb(gcfg.backbone)
+        bp = jax.device_put(gvars["params"]["backbone"], repl)
+        names3 = stage_taps_for("resnet50", 3)
+        cache = build_diff_cache(bb, bp, names3, batches, mesh,
+                                 cache_dtype=jnp.bfloat16)
+
+        points = depth_grid()
+        rng2 = jax.random.PRNGKey(1)
+        aggs, heads = [], []
+        for i, p in enumerate(points):
+            nm = p.tap_names("resnet50")
+            agg = ConvHeadAggregator(len(nm))
+            d0 = [jnp.zeros((1,) + tuple(cache.diffs[n].shape[2:]),
+                            jnp.float32) for n in nm]
+            aggs.append(agg)
+            heads.append(agg.init(jax.random.fold_in(rng2, i), d0)["params"])
+        tx = optax.adam(1e-4)
+        opts = [tx.init(h) for h in heads]
+        heads = jax.device_put(heads, repl)
+        opts = jax.device_put(opts, repl)
+
+        @jax.jit
+        def cached_epoch(heads, opts, diffs, y, mask):
+            def body(carry, idx):
+                hs, os_ = carry
+                db = {k: jax.lax.dynamic_index_in_dim(v, idx, 0, False)
+                      for k, v in diffs.items()}
+                yb = jax.lax.dynamic_index_in_dim(y, idx, 0, False)
+                mb = jax.lax.dynamic_index_in_dim(mask, idx, 0, False)
+                new_h, new_o, ls = [], [], []
+                for i, p in enumerate(points):
+                    nm = p.tap_names("resnet50")
+
+                    def loss_fn(hp, i=i, nm=nm):
+                        sel = [db[n].astype(jnp.float32) for n in nm]
+                        return masked_mse(
+                            aggs[i].apply({"params": hp}, sel), yb, mb)
+
+                    l, g = jax.value_and_grad(loss_fn)(hs[i])
+                    up, no = tx.update(g, os_[i], hs[i])
+                    new_h.append(optax.apply_updates(hs[i], up))
+                    new_o.append(no)
+                    ls.append(l)
+                return (new_h, new_o), jnp.stack(ls)
+
+            (heads, opts), losses = jax.lax.scan(
+                body, (heads, opts), jnp.arange(cache.n_batches))
+            return heads, opts, losses[-1]
+
+        state = {"h": heads, "o": opts}
+
+        def one_epoch():
+            h, o, l = cached_epoch(state["h"], state["o"], cache.diffs,
+                                   cache.y, cache.mask)
+            state["h"], state["o"] = h, o
+            return l
+
+        jax.device_get(one_epoch())
+        t0 = time.perf_counter()
+        l = None
+        for _ in range(20):
+            l = one_epoch()
+        jax.device_get(l)
+        note("cached_sweep_epoch_3pt", cb * nb * 20 / (time.perf_counter() - t0))
+    except Exception as e:
+        print(json.dumps({"bench": "cached_sweep_epoch_3pt",
+                          "error": str(e)[:300]}), file=sys.stderr, flush=True)
 
     # --- secondary: END-TO-END file→decode→preprocess→score throughput on
     # a synthetic JPEG folder set (the honest host-bound number; the

@@ -177,9 +177,12 @@ def cmd_train_clu(args) -> int:
 
 
 def cmd_sweep_global(args) -> int:
-    if args.shared_tower:
-        # All depth-grid points train on ONE frozen-tower stream
-        # (srsem/train/multisweep.py) — the ~3x-cheaper sweep mode.
+    if args.shared_tower or args.cached_diffs:
+        # Shared-tower: all depth-grid points train on ONE frozen-tower
+        # stream per batch (srsem/train/multisweep.py) — ~3x cheaper.
+        # Cached-diffs: the tower runs ONCE over the dataset, every epoch
+        # trains heads on the device-resident diff cache
+        # (srsem/train/diffcache.py) — epochs 2..E at head speed.
         from srsem.core.config import (BackboneConfig, GlobalModelConfig,
                                        TrainConfig)
         from srsem.data.datasets import Subset, UserStudyScores, seeded_split
@@ -195,11 +198,17 @@ def cmd_sweep_global(args) -> int:
         pre = Preprocess.for_backbone(args.backbone, cfg.backbone.image_size)
         ds = UserStudyScores(args.csv, args.root, pre)
         tr, va = seeded_split(len(ds), tcfg.val_fraction, tcfg.seed)
-        results = train_global_sweep_shared_tower(
-            depth_grid(), cfg, tcfg,
-            Loader(Subset(ds, tr), tcfg.batch_size, shuffle=True,
-                   seed=tcfg.seed),
-            Loader(Subset(ds, va), tcfg.batch_size))
+        train_loader = Loader(Subset(ds, tr), tcfg.batch_size, shuffle=True,
+                              seed=tcfg.seed)
+        val_loader = Loader(Subset(ds, va), tcfg.batch_size)
+        if args.cached_diffs:
+            from srsem.train.diffcache import train_global_sweep_cached_diffs
+
+            results = train_global_sweep_cached_diffs(
+                depth_grid(), cfg, tcfg, train_loader, val_loader)
+        else:
+            results = train_global_sweep_shared_tower(
+                depth_grid(), cfg, tcfg, train_loader, val_loader)
         print(json.dumps([{"name": r["name"], "val_srcc": r["val_srcc"],
                            "val_mse": r["val_mse"]} for r in results]))
         return 0
@@ -398,6 +407,44 @@ def cmd_score_groups(args) -> int:
     return 0
 
 
+def cmd_score_maps_groups(args) -> int:
+    """Grouped GT-vs-K-SR CLU map scoring: one shared GT tower pass per
+    group (srsem/eval/grouped.py::GroupedMapScorer)."""
+    import jax
+    import jax.numpy as jnp
+
+    from srsem.core.config import BackboneConfig, LocalModelConfig
+    from srsem.eval.grouped import GroupedMapScorer
+    from srsem.models.local_models import make_local_model
+
+    cfg = LocalModelConfig(
+        backbone=BackboneConfig(kind=args.backbone,
+                                image_size=args.image_size),
+        v2=args.v2)
+    model = make_local_model(cfg)
+    size = cfg.backbone.image_size
+    z = jnp.zeros((1, size, size, 3))
+    variables = model.init(jax.random.PRNGKey(0), z, z, train=False)
+    if args.checkpoint:
+        from srsem.train.checkpoint import restore_checkpoint
+        from srsem.train.partition import merge_params
+
+        restored = restore_checkpoint(args.checkpoint)
+        variables = {"params": merge_params(
+            restored["trainable"], variables["params"]),
+            **({"batch_stats": restored["batch_stats"]}
+               if "batch_stats" in restored else
+               {"batch_stats": variables.get("batch_stats", {})})}
+    scorer = GroupedMapScorer(cfg, variables, k=len(args.sr_folders),
+                              batch_size=args.batch_size)
+    df = scorer.score_folder_set(args.gt_folder, args.sr_folders,
+                                 maps_dir=args.maps_dir)
+    df.to_csv(args.out, index=False)
+    print(json.dumps({"groups": len(df), "sr_models": len(args.sr_folders),
+                      "out": args.out, "maps_dir": args.maps_dir}))
+    return 0
+
+
 def cmd_folder_metrics(args) -> int:
     from srsem.eval.folder_metrics import ImageQualityMetrics, run_folder_sweep
 
@@ -507,6 +554,10 @@ def main(argv=None) -> int:
     p.add_argument("--summary", default="sweep_global.jsonl")
     p.add_argument("--shared-tower", action="store_true",
                    help="train all depth points on one frozen-tower stream")
+    p.add_argument("--cached-diffs", action="store_true",
+                   help="precompute the frozen tower once; train every "
+                        "epoch of every point on the device-resident diff "
+                        "cache (srsem/train/diffcache.py)")
     p.set_defaults(fn=cmd_sweep_global)
 
     p = sub.add_parser("sweep-clu")
@@ -572,6 +623,23 @@ def main(argv=None) -> int:
     p.add_argument("--image-size", type=int, default=224)
     p.add_argument("--out", default="group_scores.csv")
     p.set_defaults(fn=cmd_score_groups)
+
+    p = sub.add_parser("score-maps-groups", help="CLU fidelity maps for "
+                       "each GT against K SR folders with one shared GT "
+                       "tower pass per group")
+    p.add_argument("gt_folder")
+    p.add_argument("sr_folders", nargs="+")
+    p.add_argument("--backbone", default="resnet50_clip",
+                   choices=["resnet50_clip", "resnet50"])
+    p.add_argument("--v2", action="store_true",
+                   help="pixel-diff channel variant")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--maps-dir", default=None,
+                   help="save full per-pair maps as .npy here")
+    p.add_argument("--out", default="group_map_scores.csv")
+    p.set_defaults(fn=cmd_score_maps_groups)
 
     p = sub.add_parser("sweep-dataset")
     p.add_argument("gt_folder")

@@ -57,22 +57,32 @@ class DualScorer:
             compute_dtype=jnp.dtype(local_cfg.backbone.compute_dtype),
             image_size=local_cfg.backbone.image_size)
 
-        from srsem.backbones.resnet import make_backbone
+        from srsem.backbones.resnet import (
+            CLIP_STAGE_TAPS,
+            CLIP_STEM_TAP,
+            IMAGENET_STAGE_TAPS,
+            IMAGENET_STEM_TAP,
+            make_backbone,
+        )
 
         backbone = make_backbone(global_cfg.backbone)
         tap_names = stage_taps_for(global_cfg.backbone.kind, global_cfg.depth)
+        lmodel_tap_names = (
+            (CLIP_STEM_TAP,) + CLIP_STAGE_TAPS
+            if local_cfg.backbone.kind == "resnet50_clip"
+            else (IMAGENET_STEM_TAP,) + IMAGENET_STAGE_TAPS)
         pre = self.preprocess
 
         def score_both(gvars, lvars, a_u8, b_u8):
             a = pre.device_normalize(a_u8)
             b = pre.device_normalize(b_u8)
-            n = a.shape[0]
-            # ONE frozen-tower pass for both models.
-            _, taps = backbone.apply(
-                {"params": gvars["params"]["backbone"]},
-                jnp.concatenate([a, b], axis=0))
-            taps_a = {k: v[:n] for k, v in taps.items()}
-            taps_b = {k: v[n:] for k, v in taps.items()}
+            # One frozen-tower pass per image for BOTH models, as two
+            # N-batch applies — an (a, b) concat forces a GSPMD all-to-all
+            # reshard on multi-device meshes (frozen BN ⇒ identical
+            # numerics either way).
+            bp = {"params": gvars["params"]["backbone"]}
+            _, taps_a = backbone.apply(bp, a)
+            _, taps_b = backbone.apply(bp, b)
 
             # Global head on squared diffs (aggregator applied directly).
             from srsem.models.global_models import (ConvHeadAggregator,
@@ -106,32 +116,60 @@ class DualScorer:
         # outputs ((1+K)/(2K) of the tower passes — srsem/eval/grouped.py
         # has the global-only analysis).  jit built lazily per K.
         def score_groups(gvars, lvars, gt_u8, sr_u8):
-            from srsem.models.global_models import (ConvHeadAggregator,
-                                                    squared_diffs)
+            from srsem.models.local_models import CluUnet
 
             g, k = sr_u8.shape[0], sr_u8.shape[1]
             gt = pre.device_normalize(gt_u8)
             sr = pre.device_normalize(sr_u8.reshape((g * k,) + sr_u8.shape[2:]))
-            _, taps = backbone.apply(
-                {"params": gvars["params"]["backbone"]},
-                jnp.concatenate([gt, sr], axis=0))
-            taps_a = {kk: jnp.repeat(v[:g], k, axis=0)
-                      for kk, v in taps.items()}
-            taps_b = {kk: v[g:] for kk, v in taps.items()}
-            diffs = squared_diffs(taps_a, taps_b, tap_names)
-            agg = ConvHeadAggregator(len(tap_names))
-            scores = agg.apply({"params": gvars["params"]["aggregator"]}, diffs)
-            gt_tiled = jnp.repeat(gt, k, axis=0)
+            # Two tower applies (G and G*K batches) — a GT+SR concat would
+            # force a GSPMD all-to-all reshard on multi-device meshes (see
+            # srsem/eval/grouped.py).
+            bparams = {"params": gvars["params"]["backbone"]}
+            _, taps_g = backbone.apply(bparams, gt)
+            _, taps_s = backbone.apply(bparams, sr)
+
+            # Global head, fused in (G, K) layout: the 1x1-conv head folded
+            # into the reduction so the broadcast GT-vs-K diff is never
+            # materialized (same form as srsem/eval/grouped.py).
+            head = gvars["params"]["aggregator"]
+            layer_scores = []
+            for j, nm in enumerate(tap_names):
+                tg = taps_g[nm].astype(jnp.float32)[:, None]
+                t = taps_s[nm]
+                ts = t.reshape((g, k) + t.shape[1:]).astype(jnp.float32)
+                d = (tg - ts) ** 2
+                w = head[f"w_layers.{j}"]["kernel"][:, 0].astype(jnp.float32)
+                b = head[f"w_layers.{j}"]["bias"][0].astype(jnp.float32)
+                hw = t.shape[1] * t.shape[2]
+                layer_scores.append(jnp.sum(d * w, axis=(2, 3, 4)) / hw + b)
+            scores = jax.nn.relu(
+                jnp.mean(jnp.stack(layer_scores, axis=0), axis=0))
+
+            # CLU decoder: per-pair diff pyramids built with the same fused
+            # broadcast (GT taps never tiled K× in HBM), then
+            # decode_from_diffs.
+            dd = jnp.dtype(lmodel.decoder_dtype)
+            diffs = []
+            for nm in lmodel_tap_names:
+                tg = taps_g[nm].astype(jnp.float32)[:, None]
+                t = taps_s[nm]
+                ts = t.reshape((g, k) + t.shape[1:]).astype(jnp.float32)
+                diffs.append(
+                    (((tg - ts) ** 2).astype(dd)
+                     ).reshape((g * k,) + t.shape[1:]))
+            img_sq = None
+            if lmodel.v2:
+                gt_f = gt.astype(jnp.float32)[:, None]
+                sr_f = sr.reshape((g, k) + sr.shape[1:]).astype(jnp.float32)
+                img_sq = jnp.mean((gt_f - sr_f) ** 2, axis=-1, keepdims=True)
+                img_sq = img_sq.reshape((g * k,) + img_sq.shape[2:])
             maps = lmodel.apply(
                 {"params": {**lvars["params"],
                             "backbone": gvars["params"]["backbone"]},
                  **({"batch_stats": lvars["batch_stats"]}
                     if "batch_stats" in lvars else {})},
-                gt_tiled, sr, train=False,
-                method=lambda m, a_, b_, train: m.decode_from_taps(
-                    taps_a, taps_b, a_, b_, train))
-            return (scores.reshape(g, k),
-                    maps.reshape((g, k) + maps.shape[1:]))
+                diffs, img_sq, False, method=CluUnet.decode_from_diffs)
+            return scores, maps.reshape((g, k) + maps.shape[1:])
 
         self._score_groups = jax.jit(
             score_groups, in_shardings=(repl, repl, data, data),

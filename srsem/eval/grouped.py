@@ -23,14 +23,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from srsem.core.config import GlobalModelConfig
+from srsem.core.config import GlobalModelConfig, LocalModelConfig
 from srsem.core.meshes import batch_sharding, create_mesh, replicated_sharding
 from srsem.data.preprocess import Preprocess
-from srsem.models.global_models import (
-    ConvHeadAggregator,
-    stage_taps_for,
-    wperlay_taps,
-)
+from srsem.models.global_models import stage_taps_for, wperlay_taps
 
 CONV_HEADS = ("stages_cnn", "wperlay_cnn")
 
@@ -64,7 +60,6 @@ class GroupedPairScorer:
         backbone = make_backbone(cfg.backbone)
         names = (stage_taps_for(cfg.backbone.kind, cfg.depth)
                  if cfg.head == "stages_cnn" else wperlay_taps(cfg.depth))
-        agg = ConvHeadAggregator(len(names))
         pre = self.preprocess
 
         def score_grouped(v, gt_u8, sr_u8):
@@ -73,18 +68,39 @@ class GroupedPairScorer:
             gt = pre.device_normalize(gt_u8)
             sr = pre.device_normalize(
                 sr_u8.reshape((g * k,) + sr_u8.shape[2:]))
-            _, taps = backbone.apply(
-                {"params": v["params"]["backbone"]},
-                jnp.concatenate([gt, sr], axis=0))
-            diffs = []
-            for nm in names:
-                t = taps[nm].astype(jnp.float32)
-                tg = t[:g]
-                ts = t[g:].reshape((g, k) + t.shape[1:])
-                d = (tg[:, None] - ts) ** 2
-                diffs.append(d.reshape((g * k,) + t.shape[1:]))
-            scores = agg.apply({"params": v["params"]["aggregator"]}, diffs)
-            return scores.reshape(g, k)
+            # Two tower applies (G and G*K batches) instead of one concat:
+            # the G- and G*K-sharded batch dims have different per-device
+            # boundaries, so a concat forces a GSPMD all-to-all reshard on
+            # multi-device meshes (and crashes XLA:CPU's AllToAllThunk on
+            # the virtual test mesh).  Frozen running-stat BN ⇒ splitting
+            # the batch is numerically identical.
+            bparams = {"params": v["params"]["backbone"]}
+            _, taps_g = backbone.apply(bparams, gt)
+            _, taps_s = backbone.apply(bparams, sr)
+            # Fused per-layer scoring in (G, K) layout.  The head math is the
+            # ConvHeadAggregator's (Dense C→1, spatial mean, layer mean,
+            # ReLU — reference: models/global_eval_models.py:379-395) with
+            # the 1x1 conv folded into the reduction:
+            #   mean_hw(diff @ w + b) == sum_{h,w,c}(diff * w) / (h*w) + b.
+            # Written this way the broadcast GT-vs-K diff, the square, and
+            # the weighted reduce stay ONE XLA fusion — the (G,K,h,w,c)
+            # diff tensor is never materialized in HBM.  (The previous
+            # reshape-to-(G*K)-then-Dense form forced that materialization
+            # and capped the grouped speedup at 1.19x; BENCH_NOTES.md.)
+            head = v["params"]["aggregator"]
+            layer_scores = []
+            for j, nm in enumerate(names):
+                tg = taps_g[nm].astype(jnp.float32)
+                t = taps_s[nm]
+                ts = t.reshape((g, k) + t.shape[1:]).astype(jnp.float32)
+                d = (tg[:, None] - ts) ** 2  # fused, not materialized
+                w = head[f"w_layers.{j}"]["kernel"][:, 0].astype(jnp.float32)
+                b = head[f"w_layers.{j}"]["bias"][0].astype(jnp.float32)
+                hw = t.shape[1] * t.shape[2]
+                layer_scores.append(jnp.sum(d * w, axis=(2, 3, 4)) / hw + b)
+            scores = jax.nn.relu(
+                jnp.mean(jnp.stack(layer_scores, axis=0), axis=0))
+            return scores
 
         repl = replicated_sharding(self.mesh)
         data = batch_sharding(self.mesh)
@@ -111,6 +127,7 @@ class GroupedPairScorer:
         return out[:g]
 
     # ---- end-to-end folder path ------------------------------------------
+
 
     def score_folder_set(self, gt_folder: str,
                          sr_folders: Sequence[str]) -> "object":
@@ -164,4 +181,169 @@ class GroupedPairScorer:
                     rows.append({"image_name": s,
                                  **{os.path.basename(str(f).rstrip("/")): v
                                     for f, v in zip(sr_folders, scores[i])}})
+        return pd.DataFrame(rows)
+
+
+class GroupedMapScorer:
+    """Grouped CLU map scoring: (GT, [SR_1..K]) → (G, K, H, W) fidelity maps
+    with ONE shared GT tower pass per group.
+
+    The UNet decoder still runs once per pair (its input is the per-pair
+    diff pyramid), but the frozen tower — roughly two thirds of the CLU
+    serving cost (BENCH_NOTES.md) — drops from 2K to 1+K passes per group.
+    Diffs are built with a fused broadcast over the shared GT taps
+    (``(tg[:, None] - ts) ** 2`` reshaped into the decoder's pair batch) and
+    fed to :meth:`CluUnet.decode_from_diffs`, so the GT tap tensors are
+    never tiled K× in HBM.  Map numerics equal the pairwise scorer
+    (tests/test_grouped.py).
+    """
+
+    def __init__(self, cfg: LocalModelConfig, variables, k: int,
+                 mesh=None, batch_size: int = 8):
+        from srsem.backbones.resnet import (
+            CLIP_STAGE_TAPS,
+            CLIP_STEM_TAP,
+            IMAGENET_STAGE_TAPS,
+            IMAGENET_STEM_TAP,
+            make_backbone,
+        )
+        from srsem.models.local_models import CluUnet, make_local_model
+
+        self.cfg = cfg
+        self.k = k
+        self.mesh = mesh or create_mesh()
+        n_data = self.mesh.shape["data"]
+        self.batch_size = max(((batch_size + n_data - 1) // n_data) * n_data,
+                              n_data)
+        self.preprocess = Preprocess.for_backbone(
+            cfg.backbone.kind, cfg.backbone.image_size)
+
+        model = make_local_model(cfg)
+        backbone = make_backbone(cfg.backbone)
+        names = ((CLIP_STEM_TAP,) + CLIP_STAGE_TAPS
+                 if cfg.backbone.kind == "resnet50_clip"
+                 else (IMAGENET_STEM_TAP,) + IMAGENET_STAGE_TAPS)
+        dd = jnp.dtype(getattr(cfg, "decoder_dtype", "float32"))
+        pre = self.preprocess
+
+        def score_grouped(v, gt_u8, sr_u8):
+            g, kk = gt_u8.shape[0], sr_u8.shape[1]
+            gt = pre.device_normalize(gt_u8)
+            sr = pre.device_normalize(
+                sr_u8.reshape((g * kk,) + sr_u8.shape[2:]))
+            # Two tower applies — see GroupedPairScorer: a GT+SR concat
+            # would force a GSPMD all-to-all reshard on multi-device meshes.
+            bparams = {"params": v["params"]["backbone"]}
+            _, taps_g = backbone.apply(bparams, gt)
+            _, taps_s = backbone.apply(bparams, sr)
+            diffs = []
+            for nm in names:
+                tg = taps_g[nm].astype(jnp.float32)[:, None]
+                t = taps_s[nm]
+                ts = t.reshape((g, kk) + t.shape[1:]).astype(jnp.float32)
+                d = ((tg - ts) ** 2).astype(dd)
+                diffs.append(d.reshape((g * kk,) + t.shape[1:]))
+            img_sq = None
+            if cfg.v2:
+                gt_f = gt.astype(jnp.float32)[:, None]
+                sr_f = sr.reshape((g, kk) + sr.shape[1:]).astype(jnp.float32)
+                img_sq = jnp.mean((gt_f - sr_f) ** 2, axis=-1, keepdims=True)
+                img_sq = img_sq.reshape((g * kk,) + img_sq.shape[2:])
+            maps = model.apply(
+                {"params": v["params"],
+                 **({"batch_stats": v["batch_stats"]}
+                    if "batch_stats" in v else {})},
+                diffs, img_sq, False, method=CluUnet.decode_from_diffs)
+            return maps.reshape((g, kk) + maps.shape[1:])
+
+        repl = replicated_sharding(self.mesh)
+        data = batch_sharding(self.mesh)
+        self._score = jax.jit(score_grouped,
+                              in_shardings=(repl, data, data),
+                              out_shardings=data)
+        self._variables = jax.device_put(variables, repl)
+
+    def score_arrays(self, gt_u8: np.ndarray, sr_u8: np.ndarray) -> jax.Array:
+        """(G,H,W,3) GT + (G,K,H,W,3) SR → (G,K,H,W) maps.  G is padded up
+        to a multiple of the data axis (padding sliced off the result)."""
+        g = gt_u8.shape[0]
+        n_data = self.mesh.shape["data"]
+        pad = (-g) % n_data
+        if pad:
+            gt_u8 = np.concatenate(
+                [gt_u8, np.zeros((pad,) + gt_u8.shape[1:], gt_u8.dtype)])
+            sr_u8 = np.concatenate(
+                [sr_u8, np.zeros((pad,) + sr_u8.shape[1:], sr_u8.dtype)])
+        data = batch_sharding(self.mesh)
+        out = self._score(self._variables,
+                          jax.device_put(gt_u8, data),
+                          jax.device_put(sr_u8, data))
+        return out[:g]
+
+    def score_folder_set(self, gt_folder: str, sr_folders: Sequence[str],
+                         maps_dir: Optional[str] = None,
+                         num_workers: int = 16) -> "object":
+        """Match stems across GT + K SR folders; per (stem, SR model) emit
+        map_mean/map_min summary columns (NaN on decode failure — the
+        reference failure contract, 1_compute_image_metrics.py:119-134);
+        optionally save each full map to ``maps_dir/<stem>__<model>.npy``."""
+        import pandas as pd
+
+        if len(sr_folders) != self.k:
+            raise ValueError(
+                f"expected {self.k} SR folders, got {len(sr_folders)}")
+        exts = {".jpg", ".jpeg", ".png", ".bmp"}
+        stems = None
+        folder_files: List[Dict[str, Path]] = []
+        for folder in [gt_folder, *sr_folders]:
+            files = {f.stem: f for f in Path(folder).iterdir()
+                     if f.suffix.lower() in exts}
+            folder_files.append(files)
+            stems = set(files) if stems is None else stems & set(files)
+        stems = sorted(stems or ())
+        if not stems:
+            raise ValueError("no stems common to GT and all SR folders")
+        if maps_dir:
+            Path(maps_dir).mkdir(parents=True, exist_ok=True)
+        model_names = [os.path.basename(str(f).rstrip("/")) for f in sr_folders]
+
+        size = self.preprocess.size
+        bs = self.batch_size
+
+        def decode(path) -> Optional[np.ndarray]:
+            try:
+                return self.preprocess.decode_uint8(str(path))
+            except Exception:
+                return None
+
+        rows = []
+        with cf.ThreadPoolExecutor(max_workers=num_workers) as pool:
+            for start in range(0, len(stems), bs):
+                chunk = stems[start: start + bs]
+                paths = [[ff[s] for ff in folder_files] for s in chunk]
+                decoded = list(pool.map(
+                    lambda group: [decode(p) for p in group], paths))
+                gt = np.zeros((bs, size, size, 3), np.uint8)
+                sr = np.zeros((bs, self.k, size, size, 3), np.uint8)
+                ok = np.zeros((bs,), bool)
+                for i, imgs in enumerate(decoded):
+                    if all(im is not None for im in imgs):
+                        gt[i] = imgs[0]
+                        sr[i] = np.stack(imgs[1:])
+                        ok[i] = True
+                maps = np.asarray(
+                    jax.device_get(self.score_arrays(gt, sr)), np.float32)
+                for i, s in enumerate(chunk):
+                    row = {"image_name": s}
+                    for m, name in enumerate(model_names):
+                        if ok[i]:
+                            row[f"{name}_map_mean"] = float(maps[i, m].mean())
+                            row[f"{name}_map_min"] = float(maps[i, m].min())
+                            if maps_dir:
+                                np.save(os.path.join(
+                                    maps_dir, f"{s}__{name}.npy"), maps[i, m])
+                        else:
+                            row[f"{name}_map_mean"] = np.nan
+                            row[f"{name}_map_min"] = np.nan
+                    rows.append(row)
         return pd.DataFrame(rows)

@@ -59,7 +59,14 @@ class PairScorer:
         if model_kind == "global":
             self.model = make_global_model(cfg)
         else:
-            self.model = make_local_model(cfg)
+            # Split tower applies on multi-device meshes: the data-sharded
+            # GT+SR concat would force a GSPMD all-to-all reshard (see
+            # CluUnet.split_tower); single-chip keeps the faster 2N-concat
+            # form.
+            from srsem.core.meshes import DATA_AXIS
+
+            self.model = make_local_model(
+                cfg, split_tower=self.mesh.shape[DATA_AXIS] > 1)
         self._variables = variables
 
         repl = replicated_sharding(self.mesh)

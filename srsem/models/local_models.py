@@ -142,6 +142,19 @@ class CluUnet(nn.Module):
     # trades ~3 decimal digits of map precision for decoder throughput on
     # the MXU (the CLU serving path is decoder-bound, BENCH_NOTES.md).
     decoder_dtype: Any = jnp.float32
+    # Tower batching.  False (default): ONE 2N-batch tower pass over
+    # concat([a, b]) — measured ~1.1x faster on a single chip
+    # (scripts/ab_clu.py: 1,445 vs 1,230 maps/s; better pipelining at 2N).
+    # True: two N-batch passes — REQUIRED under a multi-device mesh with
+    # data-sharded inputs, where the concat's mismatched per-device
+    # boundaries force a GSPMD all-to-all reshard (slow over ICI, and it
+    # aborts XLA:CPU's AllToAllThunk on the virtual test mesh).  Numerics
+    # are identical either way in every mode — the tower's BN is
+    # FrozenBatchNorm (running stats even under LoRA/full fine-tune), so
+    # per-image results don't depend on batch composition.  Mesh-aware
+    # scorers/trainers set this from the mesh size (srsem/eval/scorer.py,
+    # srsem/train/loop.py).
+    split_tower: bool = False
 
     def setup(self):
         rank = self.lora_rank if isinstance(self.lora_rank, int) else None
@@ -178,13 +191,23 @@ class CluUnet(nn.Module):
         self.decoder = blocks
 
     def __call__(self, a: Array, b: Array, train: bool = False) -> Array:
-        n = a.shape[0]
         full_ft = self.lora_rank == "full"
-        emb, taps = self.backbone(jnp.concatenate([a, b], axis=0))
-        if not (full_ft or isinstance(self.lora_rank, int)):
-            taps = jax.tree.map(jax.lax.stop_gradient, taps)
-        taps_a = {k: v[:n] for k, v in taps.items()}
-        taps_b = {k: v[n:] for k, v in taps.items()}
+        if not self.split_tower:
+            # One 2N tower pass over concat([a, b]) — the single-chip-fast
+            # form (see ``split_tower``).
+            n = a.shape[0]
+            emb, taps = self.backbone(jnp.concatenate([a, b], axis=0))
+            if not (full_ft or isinstance(self.lora_rank, int)):
+                taps = jax.tree.map(jax.lax.stop_gradient, taps)
+            taps_a = {k: v[:n] for k, v in taps.items()}
+            taps_b = {k: v[n:] for k, v in taps.items()}
+        else:
+            # Two N-batch tower passes — see ``split_tower``.
+            _, taps_a = self.backbone(a)
+            _, taps_b = self.backbone(b)
+            if not (full_ft or isinstance(self.lora_rank, int)):
+                taps_a = jax.tree.map(jax.lax.stop_gradient, taps_a)
+                taps_b = jax.tree.map(jax.lax.stop_gradient, taps_b)
         return self.decode_from_taps(taps_a, taps_b, a, b, train)
 
     def decode_from_taps(self, taps_a, taps_b, a: Array, b: Array,
@@ -201,12 +224,28 @@ class CluUnet(nn.Module):
             # then the decoder's compute dtype for storage/concat.
             diffs.append(((fa - fb) ** 2).astype(dd))
 
+        img_sq = None
         if self.v2:
-            # Pixel-space squared error, one channel, resized per level
-            # with align_corners=False (reference :444-456).
             img_sq = jnp.mean(
                 (a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2,
                 axis=-1, keepdims=True)
+        return self.decode_from_diffs(diffs, img_sq, train)
+
+    def decode_from_diffs(self, diffs: List[Array],
+                          img_sq: Optional[Array] = None,
+                          train: bool = False) -> Array:
+        """UNet decode over precomputed squared-diff pyramids (shallow→deep
+        order matching ``tap_names``).  Grouped GT-vs-K-SR scorers build the
+        diffs with a fused broadcast over the shared GT taps and feed them
+        here directly (srsem/eval/grouped.py), so the GT tap tensors are
+        never tiled K× in HBM.  ``img_sq`` is the v2 pixel-space squared
+        error, (N, H, W, 1)."""
+        dd = self.decoder_dtype
+        if self.v2:
+            # Pixel-space squared error, one channel, resized per level
+            # with align_corners=False (reference :444-456).
+            if img_sq is None:
+                raise ValueError("v2 decode needs the pixel img_sq channel")
             diffs = [
                 jnp.concatenate(
                     [d, resize_bilinear_mxu(
@@ -229,7 +268,8 @@ class CluUnet(nn.Module):
         return jax.nn.sigmoid(h) if self.sigmoid else h
 
 
-def make_local_model(cfg: LocalModelConfig) -> CluUnet:
+def make_local_model(cfg: LocalModelConfig,
+                     split_tower: bool = False) -> CluUnet:
     return CluUnet(
         backbone_kind=cfg.backbone.kind,
         v2=cfg.v2,
@@ -237,4 +277,5 @@ def make_local_model(cfg: LocalModelConfig) -> CluUnet:
         compute_dtype=jnp.dtype(cfg.backbone.compute_dtype),
         image_size=cfg.backbone.image_size,
         decoder_dtype=jnp.dtype(getattr(cfg, "decoder_dtype", "float32")),
+        split_tower=split_tower,
     )

@@ -149,7 +149,13 @@ def train_local(cfg: LocalModelConfig, tcfg: TrainConfig,
                 train_loader, val_loader, **kw) -> TrainResult:
     """Train a CLU map model (reference: sweep_train,
     CLU_training_sweep_example.py:78-180)."""
-    model = make_local_model(cfg)
+    mesh = kw.get("mesh") or create_mesh(tcfg.mesh.data_axis,
+                                         tcfg.mesh.model_axis)
+    kw["mesh"] = mesh
+    # Two tower applies per step on multi-device meshes — the data-sharded
+    # GT+SR concat forces a GSPMD all-to-all (see CluUnet.split_tower);
+    # identical numerics (FrozenBatchNorm tower).
+    model = make_local_model(cfg, split_tower=mesh.shape["data"] > 1)
     predicate = trainable_predicate(
         lora=isinstance(cfg.lora_rank, int),
         full_finetune=cfg.full_finetune)

@@ -28,6 +28,22 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    Long pytest runs accumulate hundreds of compiled XLA:CPU programs over
+    the 8-virtual-device mesh; past a threshold the CPU thunk runtime
+    intermittently aborts ("Fatal Python error: Aborted" with no glog
+    output) on this single-core container — the same heavy test passes in
+    a fresh process.  Modules rarely share jit cache entries, so clearing
+    between modules costs little and keeps the per-process program count
+    bounded.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def rng():
     import jax

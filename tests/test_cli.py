@@ -87,3 +87,33 @@ def test_score_groups_cli(tmp_path):
     df = pd.read_csv(out)
     assert len(df) == 2
     assert {"model0", "model1"} <= set(df.columns)
+
+
+@pytest.mark.slow
+def test_score_maps_groups_cli(tmp_path):
+    rng = np.random.default_rng(4)
+    gt = tmp_path / "HQ"
+    gt.mkdir()
+    srs = []
+    for m in range(2):
+        d = tmp_path / f"model{m}"
+        d.mkdir()
+        srs.append(str(d))
+    for i in range(2):
+        arr = rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(gt / f"{i}.png")
+        for m in range(2):
+            Image.fromarray(
+                np.clip(arr + rng.integers(-15, 15, arr.shape), 0, 255)
+                .astype(np.uint8)).save(tmp_path / f"model{m}" / f"{i}.png")
+    out = str(tmp_path / "map_groups.csv")
+    maps_dir = str(tmp_path / "maps")
+    rc = main(["score-maps-groups", str(gt), *srs, "--batch-size", "2",
+               "--image-size", "64", "--maps-dir", maps_dir, "--out", out])
+    assert rc == 0
+    df = pd.read_csv(out)
+    assert len(df) == 2
+    assert {"model0_map_mean", "model1_map_min"} <= set(df.columns)
+    assert df[["model0_map_mean", "model1_map_mean"]].notna().all().all()
+    m = np.load(os.path.join(maps_dir, "0__model0.npy"))
+    assert m.shape == (64, 64) and np.isfinite(m).all()

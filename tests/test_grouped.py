@@ -79,6 +79,49 @@ def test_grouped_folder_set(setup, tmp_path):
     assert np.isfinite(good[["sr0", "sr1"]].to_numpy()).all()
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("v2", [False, True])
+def test_grouped_map_matches_pairwise(v2):
+    """GroupedMapScorer (shared GT tower pass + decode_from_diffs) equals
+    per-pair CLU map scoring, for both the base and v2 (pixel-diff channel)
+    variants."""
+    import jax.numpy as jnp
+
+    from srsem.core.config import LocalModelConfig
+    from srsem.eval.grouped import GroupedMapScorer
+    from srsem.models.local_models import make_local_model
+
+    bb = BackboneConfig(kind="resnet50_clip", image_size=64,
+                        compute_dtype="float32")
+    lcfg = LocalModelConfig(backbone=bb, v2=v2)
+    model = make_local_model(lcfg)
+    z = jnp.zeros((1, 64, 64, 3))
+    lvars = model.init(jax.random.PRNGKey(5), z, z, train=False)
+
+    g, k = 2, 3
+    rng = np.random.default_rng(7)
+    gt = rng.integers(0, 256, (g, 64, 64, 3), dtype=np.uint8)
+    sr = rng.integers(0, 256, (g, k, 64, 64, 3), dtype=np.uint8)
+
+    grouped = GroupedMapScorer(lcfg, lvars, k=k, batch_size=g)
+    got = np.asarray(jax.device_get(grouped.score_arrays(gt, sr)))
+    assert got.shape == (g, k, 64, 64)
+
+    # Pairwise reference: direct (unsharded) model apply.  PairScorer's
+    # mesh-sharded local path hits the XLA:CPU AllToAllThunk abort on the
+    # virtual test mesh (CluUnet's internal concat([a, b]) resharding —
+    # an XLA:CPU runtime bug, see CLAUDE.md); the numerics under test are
+    # identical either way.
+    a = np.repeat(gt, k, axis=0)
+    b = sr.reshape(g * k, 64, 64, 3)
+    pre = grouped.preprocess
+    want = np.asarray(jax.device_get(model.apply(
+        lvars, pre.device_normalize(jnp.asarray(a)),
+        pre.device_normalize(jnp.asarray(b)), train=False)))
+    np.testing.assert_allclose(got.reshape(g * k, 64, 64), want,
+                               rtol=2e-3, atol=1e-2)
+
+
 def test_grouped_rejects_mlp_heads(setup):
     cfg, variables = setup
     import dataclasses
