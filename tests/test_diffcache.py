@@ -24,6 +24,17 @@ from srsem.train.multisweep import (
 from tests.test_multisweep import PairDataset
 
 
+@pytest.fixture(autouse=True)
+def _clear_caches_after_each_test():
+    """This module compiles several tower-sized programs per test (sweep
+    pairs, cached + uncached CLU training); on the 1-core container the
+    XLA:CPU runtime aborts once too many executables accumulate in one
+    process (see tests/conftest.py).  Clear after every test, not just per
+    module."""
+    yield
+    jax.clear_caches()
+
+
 def test_estimate_cache_bytes():
     shapes = {"a": (8, 8, 16), "b": (4, 4, 32)}
     n = estimate_cache_bytes(shapes, n_pairs=10, cache_dtype=jnp.float32)
