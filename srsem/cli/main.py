@@ -171,6 +171,22 @@ def cmd_train_clu(args) -> int:
     train_loader = Loader(Subset(ds, train_idx), tcfg.batch_size, shuffle=True,
                           seed=tcfg.seed)
     val_loader = Loader(Subset(ds, val_idx), tcfg.batch_size)
+    if args.cached_diffs:
+        # Decoder-only fast path: the frozen tower runs ONCE over the
+        # dataset; epochs train the decoder on the device-resident diff
+        # cache (srsem/train/diffcache.py).
+        from srsem.train.checkpoint import save_checkpoint
+        from srsem.train.diffcache import train_local_cached_diffs
+
+        result = train_local_cached_diffs(cfg, tcfg, train_loader, val_loader)
+        if tcfg.checkpoint_dir:
+            save_checkpoint(tcfg.checkpoint_dir, tcfg.epochs, {
+                "trainable": result["trainable"],
+                "batch_stats": result["batch_stats"],
+            })
+        print(json.dumps({"val_metrics": {"mse": result["val_mse"]},
+                          "train_loss": result["train_loss"]}))
+        return 0
     result = train_local(cfg, tcfg, train_loader, val_loader)
     print(json.dumps({"val_metrics": result.val_metrics, "steps": result.step}))
     return 0
@@ -545,6 +561,10 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint-dir")
     p.add_argument("--set", action="append", default=[])
     p.add_argument("--train-set", action="append", default=[])
+    p.add_argument("--cached-diffs", action="store_true",
+                   help="decoder-only fast path: run the frozen tower once "
+                        "over the dataset, train epochs on the cached diff "
+                        "pyramids (srsem/train/diffcache.py)")
     p.set_defaults(fn=cmd_train_clu)
 
     p = sub.add_parser("sweep-global")

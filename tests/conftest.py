@@ -10,9 +10,23 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_timeout_seconds" not in _flags:
+    # XLA:CPU's collective rendezvous EXITS THE PROCESS (rendezvous.cc
+    # LOG(FATAL): "Termination timeout for `all reduce ...` of 40 seconds
+    # exceeded. Exiting to ensure a consistent program state") when a
+    # participant thread is starved past the default timeout.  On this
+    # single-core container, 8 virtual devices' rendezvous threads are
+    # routinely starved — the cause of the intermittent SIGABRTs in long
+    # suite runs (message lost to pytest capture; recovered with an
+    # LD_PRELOAD SIGABRT backtrace hook).  Collectives here are correct,
+    # just slow; give them time.
+    _flags = (_flags
+              + " --xla_cpu_collective_timeout_seconds=1200"
+              + " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+              + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+              ).strip()
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 
