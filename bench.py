@@ -129,6 +129,21 @@ def main() -> None:
         note("global_grouped_gt5", t)
         if t > headline:
             headline = t
+
+        G2 = 48
+        grouped2 = GroupedPairScorer(gcfg, jax.device_get(gvars), k=K,
+                                     mesh=mesh, batch_size=G2)
+        gt_g2 = jax.device_put(
+            host.integers(0, 256, (G2, size, size, 3), dtype=np.uint8), data)
+        sr_g2 = jax.device_put(
+            host.integers(0, 256, (G2, K, size, size, 3), dtype=np.uint8),
+            data)
+        t2 = _throughput(
+            lambda a, b: grouped2._score(grouped2._variables, a, b),
+            (gt_g2, sr_g2), G2 * K, 15)
+        note("global_grouped_gt5_g48", t2)
+        if t2 > headline:
+            headline = t2
     except Exception as e:
         print(json.dumps({"bench": "global_grouped_gt5", "error": str(e)[:300]}),
               file=sys.stderr, flush=True)
@@ -437,6 +452,86 @@ def main() -> None:
         note("cached_sweep_epoch_3pt", cb * nb * 20 / (time.perf_counter() - t0))
     except Exception as e:
         print(json.dumps({"bench": "cached_sweep_epoch_3pt",
+                          "error": str(e)[:300]}), file=sys.stderr, flush=True)
+
+    # --- secondary: CLU decoder training on cached diffs (the
+    # train_local_cached_diffs step without its one-time tower pass —
+    # srsem/train/diffcache.py).
+    try:
+        import optax
+
+        from srsem.models.local_models import CluUnet, make_local_model
+        from srsem.train.partition import partition_params, trainable_predicate
+        from srsem.train.steps import masked_mse
+
+        ccfg2 = LocalModelConfig(
+            backbone=BackboneConfig(kind="resnet50_clip", image_size=size,
+                                    compute_dtype="bfloat16"))
+        cmodel2 = make_local_model(ccfg2)
+        z2 = jnp.zeros((1, size, size, 3))
+        cvars2 = cmodel2.init(rng, z2, z2, train=False)
+        ctr, _ = partition_params(cvars2["params"], trainable_predicate())
+        ctx2 = optax.adam(1e-4)
+        copt = jax.device_put(ctx2.init(ctr), repl)
+        ctr = jax.device_put(ctr, repl)
+        cstats = jax.device_put(cvars2.get("batch_stats", {}), repl)
+
+        cb2 = 32
+        from srsem.backbones.resnet import (CLIP_STAGE_TAPS, CLIP_STEM_TAP,
+                                            make_backbone as mk_bb2)
+
+        cbb2 = mk_bb2(ccfg2.backbone)
+        cbp2 = jax.device_put(cvars2["params"]["backbone"], repl)
+        names5 = (CLIP_STEM_TAP,) + CLIP_STAGE_TAPS
+
+        @jax.jit
+        def mk_diffs(bp, a, b):
+            _, ta = cbb2.apply({"params": bp}, a)
+            _, tb = cbb2.apply({"params": bp}, b)
+            return [((ta[n].astype(jnp.float32)
+                      - tb[n].astype(jnp.float32)) ** 2) for n in names5]
+
+        an2 = jax.device_put(
+            (np.asarray(jax.device_get(a_u8[:cb2])) / 255.0).astype(np.float32),
+            data)
+        bn2 = jax.device_put(
+            (np.asarray(jax.device_get(b_u8[:cb2])) / 255.0).astype(np.float32),
+            data)
+        cached_diffs = [jax.device_put(d, data)
+                        for d in mk_diffs(cbp2, an2, bn2)]
+        y_map2 = jax.device_put(np.zeros((cb2, size, size), np.float32), data)
+        m2 = jax.device_put(np.ones((cb2,), np.float32), data)
+
+        @jax.jit
+        def cached_clu_step(tr, opt, st, diffs, y, m):
+            def loss_fn(tr):
+                pred, ups = cmodel2.apply(
+                    {"params": tr, "batch_stats": st}, diffs, None, True,
+                    method=CluUnet.decode_from_diffs, mutable=["batch_stats"])
+                return masked_mse(pred, y, m), ups["batch_stats"]
+
+            (loss, new_st), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(tr)
+            up, new_opt = ctx2.update(grads, opt, tr)
+            return optax.apply_updates(tr, up), new_opt, new_st, loss
+
+        cstate = {"t": ctr, "o": copt, "s": cstats}
+
+        def one_clu_step():
+            t, o, s, l = cached_clu_step(cstate["t"], cstate["o"], cstate["s"],
+                                         cached_diffs, y_map2, m2)
+            cstate.update(t=t, o=o, s=s)
+            return l
+
+        jax.device_get(one_clu_step())
+        t0 = time.perf_counter()
+        l = None
+        for _ in range(30):
+            l = one_clu_step()
+        jax.device_get(l)
+        note("clu_cached_train_step", cb2 * 30 / (time.perf_counter() - t0))
+    except Exception as e:
+        print(json.dumps({"bench": "clu_cached_train_step",
                           "error": str(e)[:300]}), file=sys.stderr, flush=True)
 
     # --- secondary: END-TO-END file→decode→preprocess→score throughput on
