@@ -454,6 +454,130 @@ def main() -> None:
         print(json.dumps({"bench": "cached_sweep_epoch_3pt",
                           "error": str(e)[:300]}), file=sys.stderr, flush=True)
 
+    # --- secondary: sufficient-statistic sweep (srsem/train/statcache.py):
+    # the conv head is a 1x1 conv + spatial mean, so the per-layer
+    # spatial-mean diff (~15 KB/pair) is an exact sufficient statistic —
+    # the ENTIRE reference sweep (10k pairs x 3 depths x 30 epochs,
+    # CLIPLPIPS_REG_training_sweep_example.py:107-114) trains from one
+    # tower pass with the cache device-resident.
+    try:
+        import optax
+
+        from srsem.backbones.resnet import make_backbone as mk_bb3
+        from srsem.models.global_models import (ConvHeadAggregator,
+                                                conv_head_from_stats,
+                                                stage_taps_for)
+        from srsem.train.multisweep import depth_grid
+        from srsem.train.steps import masked_mse
+
+        bb3 = mk_bb3(gcfg.backbone)
+        bp3 = jax.device_put(gvars["params"]["backbone"], repl)
+        names3s = stage_taps_for("resnet50", 3)
+
+        @jax.jit
+        def batch_stats_fn(bp, a, b):
+            af = a.astype(jnp.float32) / 255.0
+            bf = b.astype(jnp.float32) / 255.0
+            _, ta = bb3.apply({"params": bp}, af)
+            _, tb = bb3.apply({"params": bp}, bf)
+            return {nm: jnp.mean((ta[nm].astype(jnp.float32)
+                                  - tb[nm].astype(jnp.float32)) ** 2,
+                                 axis=(1, 2)) for nm in names3s}
+
+        # Cache build at 10k-pair scale: 79 x 128-pair tower batches
+        # (device-resident uint8 inputs; content duplication is irrelevant
+        # to throughput).  This is the one-time cost of the whole sweep.
+        nb3 = 79
+        jax.device_get(batch_stats_fn(bp3, a_u8, b_u8))  # compile
+        t0 = time.perf_counter()
+        stat_batches = []
+        for _ in range(nb3):
+            stat_batches.append(batch_stats_fn(bp3, a_u8, b_u8))
+        jax.device_get(stat_batches[-1])
+        t_build = time.perf_counter() - t0
+        note("stats_cache_build_10k", batch * nb3 / t_build)
+
+        sh3 = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, "data"))
+        stats10k = {
+            nm: jax.device_put(
+                jnp.stack([jax.device_get(sb[nm]) for sb in stat_batches]),
+                sh3)
+            for nm in names3s}
+        y10k = jax.device_put(
+            np.tile(host.uniform(size=(1, batch)).astype(np.float32),
+                    (nb3, 1)), sh3)
+        m10k = jax.device_put(np.ones((nb3, batch), np.float32), sh3)
+
+        points3 = depth_grid()
+        rng3 = jax.random.PRNGKey(2)
+        heads3 = []
+        for i, p in enumerate(points3):
+            nm = p.tap_names("resnet50")
+            agg = ConvHeadAggregator(len(nm))
+            d0 = [jnp.zeros((1, 7, 7, stats10k[n].shape[-1]), jnp.float32)
+                  for n in nm]
+            heads3.append(agg.init(jax.random.fold_in(rng3, i), d0)["params"])
+        tx3 = optax.adam(1e-4)
+        opts3 = [tx3.init(h) for h in heads3]
+        heads3 = jax.device_put(heads3, repl)
+        opts3 = jax.device_put(opts3, repl)
+
+        epochs3 = 30
+
+        @jax.jit
+        def full_sweep(heads, opts, stats, y, mask):
+            """All 30 epochs x 3 grid points in ONE scan-of-scans."""
+            def epoch_body(carry, _):
+                def body(carry, idx):
+                    hs, os_ = carry
+                    sb = {k: jax.lax.dynamic_index_in_dim(v, idx, 0, False)
+                          for k, v in stats.items()}
+                    yb = jax.lax.dynamic_index_in_dim(y, idx, 0, False)
+                    mb = jax.lax.dynamic_index_in_dim(mask, idx, 0, False)
+                    new_h, new_o, ls = [], [], []
+                    for i, p in enumerate(points3):
+                        nm = p.tap_names("resnet50")
+
+                        def loss_fn(hp, nm=nm):
+                            sel = [sb[n] for n in nm]
+                            return masked_mse(
+                                conv_head_from_stats(hp, sel), yb, mb)
+
+                        l, g = jax.value_and_grad(loss_fn)(hs[i])
+                        up, no = tx3.update(g, os_[i], hs[i])
+                        new_h.append(optax.apply_updates(hs[i], up))
+                        new_o.append(no)
+                        ls.append(l)
+                    return (new_h, new_o), jnp.stack(ls)
+
+                carry, losses = jax.lax.scan(body, carry, jnp.arange(nb3))
+                return carry, losses[-1]
+
+            (heads, opts), losses = jax.lax.scan(
+                epoch_body, (heads, opts), None, length=epochs3)
+            return heads, opts, losses[-1]
+
+        h3, o3, l3 = full_sweep(heads3, opts3, stats10k, y10k, m10k)  # compile
+        jax.device_get(l3)
+        t0 = time.perf_counter()
+        h3, o3, l3 = full_sweep(heads3, opts3, stats10k, y10k, m10k)
+        jax.device_get(l3)
+        t_train = time.perf_counter() - t0
+        total = t_build + t_train
+        print(json.dumps({
+            "bench": "stats_sweep_10k_full",
+            "pairs": batch * nb3, "epochs": epochs3, "points": len(points3),
+            "cache_build_secs": round(t_build, 3),
+            "train_secs": round(t_train, 3),
+            "total_secs": round(total, 3),
+            "pair_epochs_per_sec_per_chip": round(
+                batch * nb3 * epochs3 / t_train / n_chips, 2),
+        }), file=sys.stderr, flush=True)
+    except Exception as e:
+        print(json.dumps({"bench": "stats_sweep_10k_full",
+                          "error": str(e)[:300]}), file=sys.stderr, flush=True)
+
     # --- secondary: CLU decoder training on cached diffs (the
     # train_local_cached_diffs step without its one-time tower pass —
     # srsem/train/diffcache.py).

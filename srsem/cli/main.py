@@ -193,12 +193,16 @@ def cmd_train_clu(args) -> int:
 
 
 def cmd_sweep_global(args) -> int:
-    if args.shared_tower or args.cached_diffs:
+    if args.shared_tower or args.cached_diffs or args.cached_stats:
         # Shared-tower: all depth-grid points train on ONE frozen-tower
         # stream per batch (srsem/train/multisweep.py) — ~3x cheaper.
         # Cached-diffs: the tower runs ONCE over the dataset, every epoch
         # trains heads on the device-resident diff cache
         # (srsem/train/diffcache.py) — epochs 2..E at head speed.
+        # Cached-stats: like cached-diffs, but only the head's sufficient
+        # statistic (per-layer spatial-mean diffs, ~15 KB/pair) is cached
+        # (srsem/train/statcache.py) — exact for conv heads, fits the full
+        # 10k-pair SR dataset on device.
         from srsem.core.config import (BackboneConfig, GlobalModelConfig,
                                        TrainConfig)
         from srsem.data.datasets import Subset, UserStudyScores, seeded_split
@@ -217,7 +221,12 @@ def cmd_sweep_global(args) -> int:
         train_loader = Loader(Subset(ds, tr), tcfg.batch_size, shuffle=True,
                               seed=tcfg.seed)
         val_loader = Loader(Subset(ds, va), tcfg.batch_size)
-        if args.cached_diffs:
+        if args.cached_stats:
+            from srsem.train.statcache import train_global_sweep_cached_stats
+
+            results = train_global_sweep_cached_stats(
+                depth_grid(), cfg, tcfg, train_loader, val_loader)
+        elif args.cached_diffs:
             from srsem.train.diffcache import train_global_sweep_cached_diffs
 
             results = train_global_sweep_cached_diffs(
@@ -578,6 +587,10 @@ def main(argv=None) -> int:
                    help="precompute the frozen tower once; train every "
                         "epoch of every point on the device-resident diff "
                         "cache (srsem/train/diffcache.py)")
+    p.add_argument("--cached-stats", action="store_true",
+                   help="precompute the frozen tower once and cache only "
+                        "the conv head's sufficient statistic (~15 KB/pair; "
+                        "exact — srsem/train/statcache.py)")
     p.set_defaults(fn=cmd_sweep_global)
 
     p = sub.add_parser("sweep-clu")

@@ -128,35 +128,20 @@ class DualScorer:
             _, taps_g = backbone.apply(bparams, gt)
             _, taps_s = backbone.apply(bparams, sr)
 
-            # Global head, fused in (G, K) layout: the 1x1-conv head folded
-            # into the reduction so the broadcast GT-vs-K diff is never
-            # materialized (same form as srsem/eval/grouped.py).
-            head = gvars["params"]["aggregator"]
-            layer_scores = []
-            for j, nm in enumerate(tap_names):
-                tg = taps_g[nm].astype(jnp.float32)[:, None]
-                t = taps_s[nm]
-                ts = t.reshape((g, k) + t.shape[1:]).astype(jnp.float32)
-                d = (tg - ts) ** 2
-                w = head[f"w_layers.{j}"]["kernel"][:, 0].astype(jnp.float32)
-                b = head[f"w_layers.{j}"]["bias"][0].astype(jnp.float32)
-                hw = t.shape[1] * t.shape[2]
-                layer_scores.append(jnp.sum(d * w, axis=(2, 3, 4)) / hw + b)
-            scores = jax.nn.relu(
-                jnp.mean(jnp.stack(layer_scores, axis=0), axis=0))
+            # Global head, fused in (G, K) layout — the helper owns the
+            # aggregator param layout
+            # (srsem/models/global_models.py::fused_grouped_head).
+            from srsem.models.global_models import (fused_grouped_head,
+                                                    grouped_diff_pyramid)
+
+            scores = fused_grouped_head(
+                gvars["params"]["aggregator"], taps_g, taps_s, tap_names)
 
             # CLU decoder: per-pair diff pyramids built with the same fused
             # broadcast (GT taps never tiled K× in HBM), then
             # decode_from_diffs.
             dd = jnp.dtype(lmodel.decoder_dtype)
-            diffs = []
-            for nm in lmodel_tap_names:
-                tg = taps_g[nm].astype(jnp.float32)[:, None]
-                t = taps_s[nm]
-                ts = t.reshape((g, k) + t.shape[1:]).astype(jnp.float32)
-                diffs.append(
-                    (((tg - ts) ** 2).astype(dd)
-                     ).reshape((g * k,) + t.shape[1:]))
+            diffs = grouped_diff_pyramid(taps_g, taps_s, lmodel_tap_names, dd)
             img_sq = None
             if lmodel.v2:
                 gt_f = gt.astype(jnp.float32)[:, None]

@@ -5,11 +5,16 @@ SR models (reference: README.md:47-53; qwen_caps_embedding_script.py:59-76
 enumerates HQ×SR pairs).  The reference — and the plain pair scorer — runs
 the GT through the frozen tower once PER PAIR: 2·K tower passes per group.
 Here the group shares the GT pass: (1 + K) passes, an algorithmic
-(2K)/(1+K) ≈ 1.67× cut of the dominant cost at K=5 with bit-identical
-scores (the squared-diff/head math is unchanged, only the batching is).
+(2K)/(1+K) ≈ 1.67× cut of the dominant cost at K=5 with numerically
+equivalent scores (algebraically identical squared-diff/head math; the
+fused (G, K) head changes the FP reduction order — tests/test_grouped.py
+pins equality at rtol/atol).
 
 Covers the conv-head variants (stages_cnn / clsbckb / wperlay — including
-the flagship and the README winner); other heads fall back to pairwise.
+the flagship and the README winner) and the ViT token heads
+(single_lin_vit / stages_vit / wperlay_vit, fused the same way); the MLP
+heads (stages_cnn_pooling / emb_lin) fall back to pairwise — their heads
+are nonlinear in the features, so there is no fused (G, K) form.
 """
 
 from __future__ import annotations
@@ -26,9 +31,17 @@ import numpy as np
 from srsem.core.config import GlobalModelConfig, LocalModelConfig
 from srsem.core.meshes import batch_sharding, create_mesh, replicated_sharding
 from srsem.data.preprocess import Preprocess
-from srsem.models.global_models import stage_taps_for, wperlay_taps
+from srsem.models.global_models import (
+    fused_grouped_head,
+    fused_grouped_token_head,
+    grouped_diff_pyramid,
+    stage_taps_for,
+    wperlay_taps,
+)
 
 CONV_HEADS = ("stages_cnn", "wperlay_cnn")
+VIT_HEADS = ("single_lin_vit", "stages_vit", "wperlay_vit")
+GROUPED_HEADS = CONV_HEADS + VIT_HEADS
 
 
 class GroupedPairScorer:
@@ -40,10 +53,10 @@ class GroupedPairScorer:
 
     def __init__(self, cfg: GlobalModelConfig, variables, k: int,
                  mesh=None, batch_size: int = 32, num_workers: int = 16):
-        if cfg.head not in CONV_HEADS:
+        if cfg.head not in GROUPED_HEADS:
             raise ValueError(
-                f"grouped scoring supports conv heads {CONV_HEADS}, "
-                f"got {cfg.head!r} — use PairScorer")
+                f"grouped scoring supports the linear-to-scalar heads "
+                f"{GROUPED_HEADS}, got {cfg.head!r} — use PairScorer")
         self.cfg = cfg
         self.k = k
         self.mesh = mesh or create_mesh()
@@ -56,10 +69,19 @@ class GroupedPairScorer:
             cfg.backbone.kind, cfg.backbone.image_size)
 
         from srsem.backbones.resnet import make_backbone
+        from srsem.backbones.vit import vit_block_taps
 
         backbone = make_backbone(cfg.backbone)
-        names = (stage_taps_for(cfg.backbone.kind, cfg.depth)
-                 if cfg.head == "stages_cnn" else wperlay_taps(cfg.depth))
+        if cfg.head == "stages_cnn":
+            names = stage_taps_for(cfg.backbone.kind, cfg.depth)
+        elif cfg.head == "wperlay_cnn":
+            names = wperlay_taps(cfg.depth)
+        else:  # ViT heads: taps mirror GlobalPairScorer.setup
+            names = vit_block_taps(
+                cfg.depth, total=cfg.backbone.vit_depth,
+                step=3 if cfg.head == "stages_vit" else 1)
+        shared_head = cfg.head == "single_lin_vit"
+        is_vit = cfg.head in VIT_HEADS
         pre = self.preprocess
 
         def score_grouped(v, gt_u8, sr_u8):
@@ -77,30 +99,15 @@ class GroupedPairScorer:
             bparams = {"params": v["params"]["backbone"]}
             _, taps_g = backbone.apply(bparams, gt)
             _, taps_s = backbone.apply(bparams, sr)
-            # Fused per-layer scoring in (G, K) layout.  The head math is the
-            # ConvHeadAggregator's (Dense C→1, spatial mean, layer mean,
-            # ReLU — reference: models/global_eval_models.py:379-395) with
-            # the 1x1 conv folded into the reduction:
-            #   mean_hw(diff @ w + b) == sum_{h,w,c}(diff * w) / (h*w) + b.
-            # Written this way the broadcast GT-vs-K diff, the square, and
-            # the weighted reduce stay ONE XLA fusion — the (G,K,h,w,c)
-            # diff tensor is never materialized in HBM.  (The previous
-            # reshape-to-(G*K)-then-Dense form forced that materialization
-            # and capped the grouped speedup at 1.19x; BENCH_NOTES.md.)
-            head = v["params"]["aggregator"]
-            layer_scores = []
-            for j, nm in enumerate(names):
-                tg = taps_g[nm].astype(jnp.float32)
-                t = taps_s[nm]
-                ts = t.reshape((g, k) + t.shape[1:]).astype(jnp.float32)
-                d = (tg[:, None] - ts) ** 2  # fused, not materialized
-                w = head[f"w_layers.{j}"]["kernel"][:, 0].astype(jnp.float32)
-                b = head[f"w_layers.{j}"]["bias"][0].astype(jnp.float32)
-                hw = t.shape[1] * t.shape[2]
-                layer_scores.append(jnp.sum(d * w, axis=(2, 3, 4)) / hw + b)
-            scores = jax.nn.relu(
-                jnp.mean(jnp.stack(layer_scores, axis=0), axis=0))
-            return scores
+            # Fused (G, K) scoring with the linear head folded into the
+            # reduction; the helpers own the aggregator param layout
+            # (srsem/models/global_models.py::fused_grouped_{token_,}head).
+            if is_vit:
+                return fused_grouped_token_head(
+                    v["params"]["aggregator"], taps_g, taps_s, names,
+                    shared=shared_head)
+            return fused_grouped_head(
+                v["params"]["aggregator"], taps_g, taps_s, names)
 
         repl = replicated_sharding(self.mesh)
         data = batch_sharding(self.mesh)
@@ -236,13 +243,7 @@ class GroupedMapScorer:
             bparams = {"params": v["params"]["backbone"]}
             _, taps_g = backbone.apply(bparams, gt)
             _, taps_s = backbone.apply(bparams, sr)
-            diffs = []
-            for nm in names:
-                tg = taps_g[nm].astype(jnp.float32)[:, None]
-                t = taps_s[nm]
-                ts = t.reshape((g, kk) + t.shape[1:]).astype(jnp.float32)
-                d = ((tg - ts) ** 2).astype(dd)
-                diffs.append(d.reshape((g * kk,) + t.shape[1:]))
+            diffs = grouped_diff_pyramid(taps_g, taps_s, names, dd)
             img_sq = None
             if cfg.v2:
                 gt_f = gt.astype(jnp.float32)[:, None]

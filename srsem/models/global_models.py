@@ -118,6 +118,145 @@ class ConvHeadAggregator(nn.Module):
         return nn.relu(jnp.mean(jnp.stack(scores, axis=0), axis=0))
 
 
+def fused_grouped_head(
+    head_params, taps_g: Dict[str, Array], taps_s: Dict[str, Array],
+    names: Sequence[str],
+) -> Array:
+    """:class:`ConvHeadAggregator` scoring in grouped (G, K) layout.
+
+    ``taps_g`` holds G shared-GT taps, ``taps_s`` G*K SR taps; returns
+    (G, K) scores.  Numerically equivalent to applying the aggregator to
+    the K per-pair squared-diff pyramids — the head math is algebraically
+    identical (``mean_hw(d @ w + b) == sum_hwc(d * w) / (h*w) + b``), only
+    the FP reduction order differs.  Written this way the broadcast
+    GT-vs-K diff, the square, and the weighted reduce stay ONE XLA fusion,
+    so the (G, K, h, w, c) diff tensor is never materialized in HBM
+    (BENCH_NOTES.md: 1.39× over dense pairwise at K=5).
+
+    This helper OWNS the aggregator's param layout (``w_layers.{j}``
+    kernel/bias); grouped callers (srsem/eval/grouped.py,
+    srsem/eval/dataset_sweep.py) must use it rather than reaching into the
+    params themselves.
+    """
+    g = taps_g[names[0]].shape[0]
+    layer_scores = []
+    for j, nm in enumerate(names):
+        tg = taps_g[nm].astype(jnp.float32)[:, None]
+        t = taps_s[nm]
+        k = t.shape[0] // g
+        ts = t.reshape((g, k) + t.shape[1:]).astype(jnp.float32)
+        d = (tg - ts) ** 2  # fused into the reduce, not materialized
+        w = head_params[f"w_layers.{j}"]["kernel"][:, 0].astype(jnp.float32)
+        b = head_params[f"w_layers.{j}"]["bias"][0].astype(jnp.float32)
+        hw = t.shape[1] * t.shape[2]
+        layer_scores.append(jnp.sum(d * w, axis=(2, 3, 4)) / hw + b)
+    return nn.relu(jnp.mean(jnp.stack(layer_scores, axis=0), axis=0))
+
+
+def _token_head(head_params, j: int, shared: bool):
+    """(w, b) of the j-th :class:`TokenHeadAggregator` head — ``w_layer``
+    when shared (singleLin), ``w_layers.{j}`` otherwise.  Owns the param
+    layout like :func:`fused_grouped_head`."""
+    p = head_params["w_layer"] if shared else head_params[f"w_layers.{j}"]
+    return (p["kernel"][:, 0].astype(jnp.float32),
+            p["bias"][0].astype(jnp.float32))
+
+
+def fused_grouped_token_head(
+    head_params, taps_g: Dict[str, Array], taps_s: Dict[str, Array],
+    names: Sequence[str], shared: bool = False,
+) -> Array:
+    """:class:`TokenHeadAggregator` scoring in grouped (G, K) layout.
+
+    The ViT analogue of :func:`fused_grouped_head`: GT token taps
+    (G, T, W) broadcast against SR taps (G*K, T, W), the per-layer linear
+    head folded into the reduction (``mean_t(d @ w + b) ==
+    sum_{t,w}(d * w) / T + b``), so the (G, K, T, W) diff tensor is never
+    materialized.  ``shared`` selects the singleLin shared head
+    (reference: models/global_eval_models.py:29-80 vs :125,:227).
+    """
+    g = taps_g[names[0]].shape[0]
+    layer_scores = []
+    for j, nm in enumerate(names):
+        w, b = _token_head(head_params, j, shared)
+        tg = taps_g[nm].astype(jnp.float32)[:, None]  # (G, 1, T, W)
+        t = taps_s[nm]
+        k = t.shape[0] // g
+        ts = t.reshape((g, k) + t.shape[1:]).astype(jnp.float32)
+        d = (tg - ts) ** 2  # fused into the reduce, not materialized
+        tokens = t.shape[1]
+        layer_scores.append(jnp.sum(d * w, axis=(2, 3)) / tokens + b)
+    return nn.relu(jnp.mean(jnp.stack(layer_scores, axis=0), axis=0))
+
+
+def token_head_from_stats(
+    head_params, stats: Sequence[Array], shared: bool = False,
+) -> Array:
+    """:class:`TokenHeadAggregator` scoring from per-layer diff statistics.
+
+    ``stats[j]`` is the token mean of the j-th squared-diff level, shape
+    ``(..., W)`` — the exact sufficient statistic of the linear head, as
+    :func:`conv_head_from_stats` is for the conv heads:
+    ``mean_t(d @ w + b) == dot(mean_t(d), w) + b``.
+    """
+    layer_scores = []
+    for j, s in enumerate(stats):
+        w, b = _token_head(head_params, j, shared)
+        layer_scores.append(jnp.tensordot(
+            s.astype(jnp.float32), w, axes=([-1], [0])) + b)
+    return nn.relu(jnp.mean(jnp.stack(layer_scores, axis=0), axis=0))
+
+
+def grouped_diff_pyramid(
+    taps_g: Dict[str, Array], taps_s: Dict[str, Array],
+    names: Sequence[str], dtype=jnp.float32,
+) -> List[Array]:
+    """Per-pair squared-diff pyramids from grouped taps.
+
+    GT taps (G, h, w, c) broadcast against SR taps (G*K, h, w, c) →
+    ``[(G*K, h, w, c), ...]`` in ``dtype``, ready for
+    :meth:`CluUnet.decode_from_diffs`.  The broadcast subtract/square fuses
+    into the consumer, so the GT tap tensors are never tiled K× in HBM.
+    """
+    g = taps_g[names[0]].shape[0]
+    out = []
+    for nm in names:
+        tg = taps_g[nm].astype(jnp.float32)[:, None]
+        t = taps_s[nm]
+        k = t.shape[0] // g
+        ts = t.reshape((g, k) + t.shape[1:]).astype(jnp.float32)
+        out.append(
+            (((tg - ts) ** 2).astype(dtype)).reshape((g * k,) + t.shape[1:]))
+    return out
+
+
+def conv_head_from_stats(
+    head_params, stats: Sequence[Array],
+) -> Array:
+    """:class:`ConvHeadAggregator` scoring from per-layer diff statistics.
+
+    ``stats[j]`` is the spatial mean of the j-th squared-diff pyramid
+    level, shape ``(..., C_j)`` — the head's *sufficient statistic*: since
+    the head is a 1x1 conv followed by a spatial mean,
+    ``mean_hw(d @ w + b) == dot(mean_hw(d), w) + b`` exactly, so scores
+    (and head gradients) computed from the ~C-float stat equal those
+    computed from the full (h, w, C) diff tensor up to FP reduction order.
+    This is what makes the stat-cache sweep (srsem/train/statcache.py)
+    exact: ~15 KB/pair instead of ~6 MB/pair.
+
+    Like :func:`fused_grouped_head`, this helper OWNS the aggregator's
+    param layout (``w_layers.{j}`` kernel/bias); callers must not reach
+    into the params themselves.
+    """
+    layer_scores = []
+    for j, s in enumerate(stats):
+        w = head_params[f"w_layers.{j}"]["kernel"][:, 0].astype(jnp.float32)
+        b = head_params[f"w_layers.{j}"]["bias"][0].astype(jnp.float32)
+        layer_scores.append(jnp.tensordot(
+            s.astype(jnp.float32), w, axes=([-1], [0])) + b)
+    return nn.relu(jnp.mean(jnp.stack(layer_scores, axis=0), axis=0))
+
+
 class TokenHeadAggregator(nn.Module):
     """ViT-token analogue: linear head on squared token diffs, mean over
     tokens then layers, ReLU.  ``shared`` uses one head for all layers

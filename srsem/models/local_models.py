@@ -142,6 +142,14 @@ class CluUnet(nn.Module):
     # trades ~3 decimal digits of map precision for decoder throughput on
     # the MXU (the CLU serving path is decoder-bound, BENCH_NOTES.md).
     decoder_dtype: Any = jnp.float32
+    # Decoder width multiplier.  1.0 (default) is the reference channel
+    # plan (_LEVEL_CHANNELS) — required for parity and checkpoint
+    # compatibility.  Fractions scale every decoder block's channels
+    # (min 8) without changing the code path, BN/upsample/skip structure,
+    # or param layout shape-classes: used by the multi-chip dryrun, where
+    # full-width 2048-channel decoder convs make the 8-virtual-device
+    # XLA:CPU step minutes-slow (__graft_entry__.dryrun_multichip).
+    width_mult: float = 1.0
     # Tower batching.  False (default): ONE 2N-batch tower pass over
     # concat([a, b]) — measured ~1.1x faster on a single chip
     # (scripts/ab_clu.py: 1,445 vs 1,230 maps/s; better pipelining at 2N).
@@ -179,14 +187,19 @@ class CluUnet(nn.Module):
         # Block lvl consumes concat(diff[lvl], upsampled block lvl+1 output)
         # and emits ch[lvl] channels; the shallowest block emits the 1-channel
         # map (reference: models/local_eval_models.py:38-82).
+        def scaled(ch: int) -> int:
+            return ch if self.width_mult == 1.0 else max(8, int(ch * self.width_mult))
+
         blocks = []
         for lvl, ch in enumerate(_LEVEL_CHANNELS):
             if lvl == 0:
-                blocks.append(DecoderBlock(64, 1, final_kernel=1, final_bn=False,
+                blocks.append(DecoderBlock(scaled(64), 1, final_kernel=1,
+                                           final_bn=False,
                                            dtype=self.decoder_dtype,
                                            name="decoder.0"))
             else:
-                blocks.append(DecoderBlock(ch, ch, dtype=self.decoder_dtype,
+                blocks.append(DecoderBlock(scaled(ch), scaled(ch),
+                                           dtype=self.decoder_dtype,
                                            name=f"decoder.{lvl}"))
         self.decoder = blocks
 
@@ -269,7 +282,8 @@ class CluUnet(nn.Module):
 
 
 def make_local_model(cfg: LocalModelConfig,
-                     split_tower: bool = False) -> CluUnet:
+                     split_tower: bool = False,
+                     width_mult: float = 1.0) -> CluUnet:
     return CluUnet(
         backbone_kind=cfg.backbone.kind,
         v2=cfg.v2,
@@ -277,5 +291,6 @@ def make_local_model(cfg: LocalModelConfig,
         compute_dtype=jnp.dtype(cfg.backbone.compute_dtype),
         image_size=cfg.backbone.image_size,
         decoder_dtype=jnp.dtype(getattr(cfg, "decoder_dtype", "float32")),
+        width_mult=width_mult,
         split_tower=split_tower,
     )

@@ -116,10 +116,12 @@ def build_diff_cache(
     masks: List[np.ndarray] = []
     total = 0
     for batch in loader:
-        ((a, b), y), mask = (batch if isinstance(batch, tuple)
-                             and len(batch) == 2 else (batch, None))
-        if mask is None:
-            mask = np.ones((len(y),), np.float32)
+        # Loaders must yield the masked form ``(((a, b), y), mask)`` —
+        # srsem.data.loader's contract.  (An isinstance-based fallback for
+        # an unmasked form is impossible to discriminate structurally: an
+        # unmasked ((a, b), y) batch is also a 2-tuple.)
+        ((a, b), y), mask = batch
+        mask = np.asarray(mask, np.float32)
         a_d, b_d = shard_batch(mesh, (np.asarray(a), np.asarray(b)))
         d = jax.device_get(batch_diffs(bparams, a_d, b_d))
         for nm in tap_names:
@@ -329,10 +331,12 @@ def build_local_diff_cache(
     masks: List[np.ndarray] = []
     total = 0
     for batch in loader:
-        ((a, b), y), mask = (batch if isinstance(batch, tuple)
-                             and len(batch) == 2 else (batch, None))
-        if mask is None:
-            mask = np.ones((len(y),), np.float32)
+        # Loaders must yield the masked form ``(((a, b), y), mask)`` —
+        # srsem.data.loader's contract.  (An isinstance-based fallback for
+        # an unmasked form is impossible to discriminate structurally: an
+        # unmasked ((a, b), y) batch is also a 2-tuple.)
+        ((a, b), y), mask = batch
+        mask = np.asarray(mask, np.float32)
         a_d, b_d = shard_batch(mesh, (np.asarray(a), np.asarray(b)))
         diffs, img_sq = jax.device_get(batch_feats(bparams, a_d, b_d))
         if host_diffs is None:

@@ -150,9 +150,9 @@ def train_global_sweep_shared_tower(
     last_losses = np.zeros(len(points))
     for epoch in range(tcfg.epochs):
         for batch in train_loader:
-            ((a, b), y), mask = batch if isinstance(batch, tuple) and len(batch) == 2 else (batch, None)
-            if mask is None:
-                mask = np.ones((len(y),), np.float32)
+            # Masked-form batches only: (((a, b), y), mask) — the
+            # srsem.data.loader contract (see srsem/train/diffcache.py).
+            ((a, b), y), mask = batch
             a, b, y, mask = shard_batch(mesh, (np.asarray(a), np.asarray(b),
                                                np.asarray(y, np.float32),
                                                np.asarray(mask, np.float32)))
@@ -165,9 +165,7 @@ def train_global_sweep_shared_tower(
     preds_all: List[List[np.ndarray]] = [[] for _ in points]
     targets: List[np.ndarray] = []
     for batch in val_loader:
-        ((a, b), y), mask = batch if isinstance(batch, tuple) and len(batch) == 2 else (batch, None)
-        if mask is None:
-            mask = np.ones((len(y),), np.float32)
+        ((a, b), y), mask = batch
         keep = np.asarray(mask) > 0
         a, b = shard_batch(mesh, (np.asarray(a), np.asarray(b)))
         preds = np.asarray(jax.device_get(

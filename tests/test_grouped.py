@@ -129,3 +129,40 @@ def test_grouped_rejects_mlp_heads(setup):
     bad = dataclasses.replace(cfg, head="emb_lin")
     with pytest.raises(ValueError):
         GroupedPairScorer(bad, variables, k=2)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("head,depth", [
+    ("single_lin_vit", 2),   # shared head (reference :29-80)
+    ("stages_vit", 1),       # every 3rd block (reference :116)
+    ("wperlay_vit", 2),      # consecutive blocks (reference :218)
+])
+def test_grouped_vit_matches_pairwise(head, depth):
+    """The fused (G, K) token head equals pairwise ViT scoring for all
+    three token-head variants (srsem/models/global_models.py::
+    fused_grouped_token_head)."""
+    import jax.numpy as jnp
+
+    cfg = GlobalModelConfig(
+        backbone=BackboneConfig(kind="vit_clip", image_size=64,
+                                compute_dtype="float32", vit_width=96,
+                                vit_depth=4, vit_heads=4),
+        head=head, depth=depth)
+    model = make_global_model(cfg)
+    z = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(11), z, z)
+
+    g, k = 2, 3
+    rng = np.random.default_rng(13)
+    gt = rng.integers(0, 256, (g, 64, 64, 3), dtype=np.uint8)
+    sr = rng.integers(0, 256, (g, k, 64, 64, 3), dtype=np.uint8)
+
+    grouped = GroupedPairScorer(cfg, variables, k=k, batch_size=g)
+    got = np.asarray(jax.device_get(grouped.score_arrays(gt, sr)))
+    assert got.shape == (g, k)
+
+    pre = grouped.preprocess
+    a = pre.device_normalize(jnp.asarray(np.repeat(gt, k, axis=0)))
+    b = pre.device_normalize(jnp.asarray(sr.reshape(g * k, 64, 64, 3)))
+    want = np.asarray(jax.device_get(model.apply(variables, a, b)))
+    np.testing.assert_allclose(got.reshape(-1), want, rtol=1e-4, atol=1e-5)
