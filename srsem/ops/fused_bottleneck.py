@@ -1,0 +1,179 @@
+"""Pallas fused ResNet bottleneck: one VMEM-resident kernel per block.
+
+The round-2 roofline analysis (BENCH_NOTES.md) showed the frozen tower at
+~91% of v5e HBM peak with the 1x1 convs' activation traffic setting the
+ceiling: XLA executes conv1 -> conv2 -> conv3 as three kernels, writing the
+two intermediate activations to HBM and reading them back.  A stride-1
+bottleneck's interior activations are small enough to live entirely in
+VMEM, so this module fuses the whole block —
+
+    h1 = relu(x @ W1 + b1)                 # 1x1 conv = channel matmul
+    h2 = relu(conv3x3(h1, W2) + b2)        # 9 shifted matmuls, VMEM-resident
+    y  = relu(h2 @ W3 + b3 + x)            # 1x1 conv + residual
+
+— into ONE pallas_call that reads x once and writes y once, cutting the
+block's HBM traffic roughly in half.  Frozen BatchNorm (the reference keeps
+backbones in eval mode — reference: models/global_eval_models.py:318-319)
+is a pure per-channel affine, so it folds exactly into the conv weights
+(``fold_bn_into_conv``): the fused kernel is numerically the conv+BN chain
+with a different FP contraction order, nothing approximate.
+
+Applies to the 12 stride-1 interior blocks of ResNet-50 (both the ImageNet
+and the CLIP variant — CLIP's stride-1 bottlenecks have the same dataflow;
+its stride-2/avg-pool blocks and the stems stay on XLA).  The full fused
+towers live in srsem/backbones/fused_resnet.py.
+
+MXU notes: all three matmuls accumulate in float32
+(``preferred_element_type``); activations stream through in the tower's
+compute dtype (bf16 for serving).  The grid runs over image-batch tiles so
+Pallas double-buffers the x/y blocks while the MXU works.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def fold_bn_into_conv(kernel: Array, bn: dict, eps: float = 1e-5,
+                      bias: Array | None = None) -> Tuple[Array, Array]:
+    """Fold a FrozenBatchNorm (srsem/backbones/resnet.py) into the preceding
+    conv: returns (kernel', bias') with ``conv(x, k') + b' ==
+    bn(conv(x, k) + b)`` exactly (the BN affine commutes with the conv's
+    output channels)."""
+    scale = bn["scale"] * jax.lax.rsqrt(bn["var"] + eps)
+    shift = bn["bias"] - bn["mean"] * scale
+    folded = kernel * scale  # broadcasts over the trailing (out) axis
+    if bias is not None:
+        shift = shift + bias * scale
+    return folded, shift
+
+
+def _bottleneck_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
+                       b3_ref, out_ref, *, h: int, w: int,
+                       compute_dtype: Any):
+    """One batch-tile of stride-1 bottlenecks, fully VMEM-resident.
+
+    x_ref: (bb, h, w, C); w1: (C, wd); w2: (9, wd, wd) [3x3 taps, row-major];
+    w3: (wd, C); biases f32.  out = relu(x + conv3(relu(conv2(relu(
+    conv1(x)))))) with f32 accumulation on every matmul.
+    """
+    bb = x_ref.shape[0]
+    c = x_ref.shape[-1]
+    wd = w1_ref.shape[-1]
+
+    x = x_ref[:]
+    xf = x.reshape(bb * h * w, c)
+
+    # conv1 (1x1): channel matmul, f32 accumulate, ReLU.
+    h1 = jnp.dot(xf, w1_ref[:], preferred_element_type=jnp.float32)
+    h1 = jnp.maximum(h1 + b1_ref[:], 0.0).astype(compute_dtype)
+
+    # conv2 (3x3, SAME): zero-pad each image spatially, then 9 shifted
+    # channel matmuls accumulated in f32 — the classic im2col-free form.
+    h1p = jnp.pad(h1.reshape(bb, h, w, wd),
+                  ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = jnp.zeros((bb * h * w, wd), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            win = h1p[:, dy:dy + h, dx:dx + w, :].reshape(bb * h * w, wd)
+            acc = acc + jnp.dot(win, w2_ref[dy * 3 + dx],
+                                preferred_element_type=jnp.float32)
+    h2 = jnp.maximum(acc + b2_ref[:], 0.0).astype(compute_dtype)
+
+    # conv3 (1x1) + residual + ReLU.
+    y = jnp.dot(h2, w3_ref[:], preferred_element_type=jnp.float32)
+    y = y + b3_ref[:] + xf.astype(jnp.float32)
+    out_ref[:] = jnp.maximum(y, 0.0).astype(out_ref.dtype).reshape(x.shape)
+
+
+def _pick_batch_tile(n: int, h: int, w: int, c: int, wd: int,
+                     itemsize: int, vmem_budget: int = 16 * 2**20) -> int:
+    """Largest batch tile whose working set fits the VMEM budget.
+
+    Pallas DOUBLE-BUFFERS the gridded in/out blocks (next tile streams in
+    while this one computes), so x and out count twice; add the padded h1,
+    h2, and the f32 conv2 accumulator.  The budget must stay under the
+    ``vmem_limit_bytes`` passed to the compiler (measured: exceeding the
+    Mosaic VMEM limit is a hard compile failure, and the DEFAULT limit is
+    far below the v5e's physical VMEM — stage-0 shapes abort the compiler
+    unless the limit is raised).  Measured guardrail: big tiles also blow
+    up Mosaic COMPILE TIME — a 4-image stage-0 tile (26 MB of
+    double-buffered blocks) hung the compiler for 20+ minutes, while
+    1-2-image tiles compile in seconds, so the default budget stays at
+    16 MB."""
+    per_img = (4 * h * w * c * itemsize          # x + out, double-buffered
+               + (h + 2) * (w + 2) * wd * itemsize  # padded h1
+               + h * w * wd * itemsize           # h2
+               + h * w * wd * 4)                 # f32 accumulator
+    bb = max(1, vmem_budget // max(per_img, 1))
+    while n % bb:
+        bb -= 1
+    return bb
+
+
+@functools.partial(jax.jit, static_argnames=("compute_dtype", "interpret"))
+def fused_bottleneck(x: Array, w1: Array, b1: Array, w2: Array, b2: Array,
+                     w3: Array, b3: Array, compute_dtype: Any = jnp.bfloat16,
+                     interpret: bool = False) -> Array:
+    """Stride-1 ResNet bottleneck ``relu(x + f(x))`` as one Pallas kernel.
+
+    x: (N, H, W, C) activations; w1: (C, wd), w2: (3, 3, wd, wd),
+    w3: (wd, C) BN-folded kernels (``fold_bn_into_conv``); b*: f32 biases.
+    Matches the XLA conv chain to FP-reduction-order tolerance
+    (tests/test_fused_bottleneck.py).
+    """
+    n, h, w, c = x.shape
+    wd = w1.shape[-1]
+    cd = jnp.dtype(compute_dtype)
+    bb = _pick_batch_tile(n, h, w, c, wd, cd.itemsize)
+
+    kernel = functools.partial(_bottleneck_kernel, h=h, w=w,
+                               compute_dtype=cd)
+    grid = (n // bb,)
+    repl = lambda i: (0, 0)  # noqa: E731 — weights replicated per step
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bb, h, w, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, wd), repl, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wd,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, wd, wd), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wd,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wd, c), repl, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bb, h, w, c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(x.astype(cd),
+      w1.astype(cd), b1.astype(jnp.float32),
+      w2.reshape(9, wd, wd).astype(cd), b2.astype(jnp.float32),
+      w3.astype(cd), b3.astype(jnp.float32))
+    return out
+
+
+def bottleneck_weights(block_params: dict, eps: float = 1e-5):
+    """BN-folded (w1, b1, w2, b2, w3, b3) from a stride-1 bottleneck's param
+    subtree (srsem/backbones/resnet.py::{ImageNet,Clip}Bottleneck: conv1/bn1,
+    conv2/bn2, conv3/bn3; 1x1 kernels squeezed to (Cin, Cout))."""
+    w1, b1 = fold_bn_into_conv(block_params["conv1"]["kernel"],
+                               block_params["bn1"], eps)
+    w2, b2 = fold_bn_into_conv(block_params["conv2"]["kernel"],
+                               block_params["bn2"], eps)
+    w3, b3 = fold_bn_into_conv(block_params["conv3"]["kernel"],
+                               block_params["bn3"], eps)
+    return (w1[0, 0], b1, w2, b2, w3[0, 0], b3)

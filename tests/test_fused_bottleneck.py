@@ -1,0 +1,113 @@
+"""Pallas fused bottleneck + fused serving towers
+(srsem/ops/fused_bottleneck.py, srsem/backbones/fused_resnet.py).
+
+CPU tests run the kernel in interpret mode; the real Mosaic compile is
+exercised on-chip by bench.py's A/B (BENCH_NOTES.md).  Parity target: the
+fused tower consumes the SAME param tree as the Flax towers and must match
+``backbone.apply`` on every tap to FP-reduction-order tolerance — frozen
+BN folding and the 9-shifted-matmul conv are algebraically exact.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from srsem.backbones.fused_resnet import fused_apply
+from srsem.backbones.resnet import ImageNetResNet50, ClipResNet50
+from srsem.ops.fused_bottleneck import (
+    bottleneck_weights,
+    fold_bn_into_conv,
+    fused_bottleneck,
+)
+
+
+def _rand(rng, shape, scale=1.0):
+    return jnp.asarray(rng.normal(size=shape).astype(np.float32) * scale)
+
+
+def test_fold_bn_into_conv_exact():
+    """conv→BN == folded conv, including a pre-existing conv bias."""
+    rng = np.random.default_rng(0)
+    k = _rand(rng, (3, 3, 8, 16), 0.2)
+    bias = _rand(rng, (16,))
+    bn = {"scale": _rand(rng, (16,), 0.5) + 1.0,
+          "bias": _rand(rng, (16,)),
+          "mean": _rand(rng, (16,)),
+          "var": jnp.abs(_rand(rng, (16,))) + 0.5}
+    x = _rand(rng, (2, 6, 6, 8))
+
+    conv = lambda x, w, b: jax.lax.conv_general_dilated(  # noqa: E731
+        x, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+
+    scale = bn["scale"] * jax.lax.rsqrt(bn["var"] + 1e-5)
+    shift = bn["bias"] - bn["mean"] * scale
+    want = conv(x, k, bias) * scale + shift
+    kf, bf = fold_bn_into_conv(k, bn, bias=bias)
+    got = conv(x, kf, bf)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_bottleneck_matches_conv_chain():
+    """Kernel (interpret mode) == the XLA conv1→conv2→conv3+residual chain."""
+    rng = np.random.default_rng(1)
+    n, h, w, c, wd = 2, 8, 8, 32, 8
+    x = _rand(rng, (n, h, w, c))
+    w1, b1 = _rand(rng, (c, wd), 0.1), _rand(rng, (wd,))
+    w2, b2 = _rand(rng, (3, 3, wd, wd), 0.1), _rand(rng, (wd,))
+    w3, b3 = _rand(rng, (wd, c), 0.1), _rand(rng, (c,))
+
+    h1 = jax.nn.relu(jnp.einsum("nhwc,cd->nhwd", x, w1) + b1)
+    h2 = jax.lax.conv_general_dilated(
+        h1, w2, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    h2 = jax.nn.relu(h2 + b2)
+    want = jax.nn.relu(jnp.einsum("nhwd,dc->nhwc", h2, w3) + b3 + x)
+
+    got = fused_bottleneck(x, w1, b1, w2, b2, w3, b3,
+                           compute_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_bottleneck_weights_layout():
+    """bottleneck_weights squeezes 1x1 kernels and keeps the 3x3."""
+    rng = np.random.default_rng(2)
+    bn = lambda c: {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,)),  # noqa: E731
+                    "mean": jnp.zeros((c,)), "var": jnp.ones((c,))}
+    p = {"conv1": {"kernel": _rand(rng, (1, 1, 32, 8))}, "bn1": bn(8),
+         "conv2": {"kernel": _rand(rng, (3, 3, 8, 8))}, "bn2": bn(8),
+         "conv3": {"kernel": _rand(rng, (1, 1, 8, 32))}, "bn3": bn(32)}
+    w1, b1, w2, b2, w3, b3 = bottleneck_weights(p)
+    assert w1.shape == (32, 8) and w2.shape == (3, 3, 8, 8)
+    assert w3.shape == (8, 32)
+    assert b1.shape == (8,) and b3.shape == (32,)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("kind", ["resnet50", "resnet50_clip"])
+def test_fused_tower_matches_flax(kind):
+    """Full fused tower (Pallas interiors in interpret mode) == the Flax
+    tower on every tap and the pooled output, same param tree."""
+    model = (ImageNetResNet50(dtype=jnp.float32) if kind == "resnet50"
+             else ClipResNet50(dtype=jnp.float32, image_size=64))
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    # Non-trivial BN stats so the folding is actually exercised.
+    params = jax.tree.map(lambda v: v, variables["params"])
+
+    want_emb, want_taps = model.apply(variables, x)
+    got_emb, got_taps = fused_apply(kind, params, x, dtype=jnp.float32,
+                                    interpret=True)
+
+    assert set(got_taps) == set(want_taps)
+    for nm in want_taps:
+        np.testing.assert_allclose(
+            np.asarray(got_taps[nm]), np.asarray(want_taps[nm]),
+            rtol=1e-3, atol=1e-3, err_msg=f"tap {nm} ({kind})")
+    np.testing.assert_allclose(np.asarray(got_emb), np.asarray(want_emb),
+                               rtol=1e-3, atol=1e-3)
