@@ -52,11 +52,23 @@ class GroupedPairScorer:
     """
 
     def __init__(self, cfg: GlobalModelConfig, variables, k: int,
-                 mesh=None, batch_size: int = 32, num_workers: int = 16):
+                 mesh=None, batch_size: int = 32, num_workers: int = 16,
+                 fused_tower: bool = False, fused_interpret: bool = False):
         if cfg.head not in GROUPED_HEADS:
             raise ValueError(
                 f"grouped scoring supports the linear-to-scalar heads "
                 f"{GROUPED_HEADS}, got {cfg.head!r} — use PairScorer")
+        if fused_tower and cfg.backbone.kind not in (
+                "resnet50", "resnet50_clip"):
+            raise ValueError(
+                f"fused_tower needs a ResNet backbone, got "
+                f"{cfg.backbone.kind!r}")
+        if fused_tower and (getattr(cfg, "lora_rank", None) is not None
+                            or getattr(cfg.backbone, "lora_rank", None)
+                            is not None):
+            raise ValueError(
+                "fused_tower serves the frozen base tower only — it folds "
+                "BN into conv weights and carries no LoRA deltas")
         self.cfg = cfg
         self.k = k
         self.mesh = mesh or create_mesh()
@@ -96,9 +108,22 @@ class GroupedPairScorer:
             # multi-device meshes (and crashes XLA:CPU's AllToAllThunk on
             # the virtual test mesh).  Frozen running-stat BN ⇒ splitting
             # the batch is numerically identical.
-            bparams = {"params": v["params"]["backbone"]}
-            _, taps_g = backbone.apply(bparams, gt)
-            _, taps_s = backbone.apply(bparams, sr)
+            if fused_tower:
+                # VMEM-resident Pallas bottleneck interiors
+                # (srsem/backbones/fused_resnet.py); same param tree.
+                from srsem.backbones.fused_resnet import fused_apply
+
+                dt = jnp.dtype(cfg.backbone.compute_dtype)
+                _, taps_g = fused_apply(cfg.backbone.kind,
+                                        v["params"]["backbone"], gt, dt,
+                                        interpret=fused_interpret)
+                _, taps_s = fused_apply(cfg.backbone.kind,
+                                        v["params"]["backbone"], sr, dt,
+                                        interpret=fused_interpret)
+            else:
+                bparams = {"params": v["params"]["backbone"]}
+                _, taps_g = backbone.apply(bparams, gt)
+                _, taps_s = backbone.apply(bparams, sr)
             # Fused (G, K) scoring with the linear head folded into the
             # reduction; the helpers own the aggregator param layout
             # (srsem/models/global_models.py::fused_grouped_{token_,}head).

@@ -88,6 +88,65 @@ def test_bottleneck_weights_layout():
 
 
 @pytest.mark.slow
+def test_grouped_scorer_fused_tower_parity():
+    """GroupedPairScorer(fused_tower=True) == the dense-tower scorer on the
+    same variables (interpret-mode kernel; FP-order tolerance)."""
+    from srsem.core.config import BackboneConfig, GlobalModelConfig
+    from srsem.eval.grouped import GroupedPairScorer
+    from srsem.models.global_models import make_global_model
+
+    cfg = GlobalModelConfig(
+        backbone=BackboneConfig(kind="resnet50", image_size=64,
+                                compute_dtype="float32"),
+        head="stages_cnn", depth=2)
+    model = make_global_model(cfg)
+    z = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(3), z, z)
+    # Push head biases positive so scores clear the final ReLU — otherwise
+    # both paths emit exactly 0.0 and the comparison is vacuous.
+    variables = jax.tree_util.tree_map_with_path(
+        lambda path, v: v + 1.0
+        if any(getattr(p, "key", None) == "bias" for p in path) else v,
+        variables)
+
+    rng = np.random.default_rng(7)
+    g, k = 2, 2
+    gt = rng.integers(0, 256, (g, 64, 64, 3), dtype=np.uint8)
+    sr = rng.integers(0, 256, (g, k, 64, 64, 3), dtype=np.uint8)
+
+    dense = GroupedPairScorer(cfg, variables, k=k, batch_size=g)
+    fused = GroupedPairScorer(cfg, variables, k=k, batch_size=g,
+                              fused_tower=True, fused_interpret=True)
+    want = np.asarray(jax.device_get(dense.score_arrays(gt, sr)))
+    got = np.asarray(jax.device_get(fused.score_arrays(gt, sr)))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_grouped_scorer_fused_tower_guards():
+    """fused_tower rejects non-ResNet backbones and LoRA towers."""
+    from srsem.core.config import BackboneConfig, GlobalModelConfig
+    from srsem.eval.grouped import GroupedPairScorer
+
+    vit = GlobalModelConfig(
+        backbone=BackboneConfig(kind="vit_clip"), head="stages_vit", depth=2)
+    with pytest.raises(ValueError, match="ResNet"):
+        GroupedPairScorer(vit, {}, k=2, fused_tower=True)
+    # GlobalModelConfig carries no lora_rank field; the guard still
+    # protects configs that do (duck-typed here).
+    base = GlobalModelConfig(
+        backbone=BackboneConfig(kind="resnet50"), head="stages_cnn", depth=2)
+
+    class _LoraCfg:
+        backbone = base.backbone
+        head = base.head
+        depth = base.depth
+        lora_rank = 4
+
+    with pytest.raises(ValueError, match="LoRA"):
+        GroupedPairScorer(_LoraCfg(), {}, k=2, fused_tower=True)
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("kind", ["resnet50", "resnet50_clip"])
 def test_fused_tower_matches_flax(kind):
     """Full fused tower (Pallas interiors in interpret mode) == the Flax
