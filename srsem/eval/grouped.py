@@ -231,7 +231,8 @@ class GroupedMapScorer:
     """
 
     def __init__(self, cfg: LocalModelConfig, variables, k: int,
-                 mesh=None, batch_size: int = 8):
+                 mesh=None, batch_size: int = 8, fused_tower: bool = False,
+                 fused_interpret: bool = False):
         from srsem.backbones.resnet import (
             CLIP_STAGE_TAPS,
             CLIP_STEM_TAP,
@@ -241,6 +242,12 @@ class GroupedMapScorer:
         )
         from srsem.models.local_models import CluUnet, make_local_model
 
+        if fused_tower and (cfg.backbone.kind not in
+                            ("resnet50", "resnet50_clip")
+                            or cfg.lora_rank is not None):
+            raise ValueError(
+                "fused_tower needs a frozen (no-LoRA) ResNet backbone — it "
+                "folds BN into conv weights and carries no LoRA deltas")
         self.cfg = cfg
         self.k = k
         self.mesh = mesh or create_mesh()
@@ -265,9 +272,20 @@ class GroupedMapScorer:
                 sr_u8.reshape((g * kk,) + sr_u8.shape[2:]))
             # Two tower applies — see GroupedPairScorer: a GT+SR concat
             # would force a GSPMD all-to-all reshard on multi-device meshes.
-            bparams = {"params": v["params"]["backbone"]}
-            _, taps_g = backbone.apply(bparams, gt)
-            _, taps_s = backbone.apply(bparams, sr)
+            if fused_tower:
+                from srsem.backbones.fused_resnet import fused_apply
+
+                dt = jnp.dtype(cfg.backbone.compute_dtype)
+                _, taps_g = fused_apply(cfg.backbone.kind,
+                                        v["params"]["backbone"], gt, dt,
+                                        interpret=fused_interpret)
+                _, taps_s = fused_apply(cfg.backbone.kind,
+                                        v["params"]["backbone"], sr, dt,
+                                        interpret=fused_interpret)
+            else:
+                bparams = {"params": v["params"]["backbone"]}
+                _, taps_g = backbone.apply(bparams, gt)
+                _, taps_s = backbone.apply(bparams, sr)
             diffs = grouped_diff_pyramid(taps_g, taps_s, names, dd)
             img_sq = None
             if cfg.v2:
