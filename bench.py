@@ -148,6 +148,42 @@ def main() -> None:
         print(json.dumps({"bench": "global_grouped_gt5", "error": str(e)[:300]}),
               file=sys.stderr, flush=True)
 
+    # --- grouped + fused Pallas tower: VMEM-resident bottleneck interiors
+    # (srsem/backbones/fused_resnet.py) under the same grouped head ------
+    try:
+        from srsem.eval.grouped import GroupedPairScorer
+
+        K, G = 5, 24
+        groupedf = GroupedPairScorer(gcfg, jax.device_get(gvars), k=K,
+                                     mesh=mesh, batch_size=G,
+                                     fused_tower=True)
+        gt_gf = jax.device_put(
+            host.integers(0, 256, (G, size, size, 3), dtype=np.uint8), data)
+        sr_gf = jax.device_put(
+            host.integers(0, 256, (G, K, size, size, 3), dtype=np.uint8),
+            data)
+        tf = None
+        for _attempt in range(3):  # axon remote-compile helper 500s flakily
+            try:
+                tf = _throughput(
+                    lambda a, b: groupedf._score(groupedf._variables, a, b),
+                    (gt_gf, sr_gf), G * K, 20)
+                break
+            except Exception as e:
+                print(json.dumps({"bench": "global_grouped_gt5_fusedtower",
+                                  "attempt": _attempt,
+                                  "error": str(e)[:200]}),
+                      file=sys.stderr, flush=True)
+                time.sleep(5)
+        if tf is not None:
+            note("global_grouped_gt5_fusedtower", tf)
+            if tf > headline:
+                headline = tf
+    except Exception as e:
+        print(json.dumps({"bench": "global_grouped_gt5_fusedtower",
+                          "error": str(e)[:300]}),
+              file=sys.stderr, flush=True)
+
     # --- secondary: Pallas fused-head path -------------------------------
     try:
         from srsem.backbones.resnet import make_backbone

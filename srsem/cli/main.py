@@ -387,7 +387,8 @@ def cmd_sweep_dataset(args) -> int:
     z = jnp.zeros((1, size, size, 3))
     gvars = make_global_model(gcfg).init(jax.random.PRNGKey(0), z, z)
     lvars = make_local_model(lcfg).init(jax.random.PRNGKey(1), z, z, train=False)
-    scorer = DualScorer(gcfg, lcfg, gvars, lvars, batch_size=args.batch_size)
+    scorer = DualScorer(gcfg, lcfg, gvars, lvars, batch_size=args.batch_size,
+                        fused_tower=args.fused_tower)
     summary = {}
     for sr_folder in args.sr_folders:
         df = scorer.score_folders(args.gt_folder, sr_folder)
@@ -410,7 +411,8 @@ def cmd_score_groups(args) -> int:
 
     cfg = GlobalModelConfig(
         backbone=BackboneConfig(kind=args.backbone,
-                                image_size=args.image_size),
+                                image_size=args.image_size,
+                                compute_dtype=args.dtype),
         head="stages_cnn", depth=args.depth)
     model = make_global_model(cfg)
     size = cfg.backbone.image_size
@@ -424,7 +426,8 @@ def cmd_score_groups(args) -> int:
         variables = {"params": merge_params(
             restored["trainable"], variables["params"])}
     scorer = GroupedPairScorer(cfg, variables, k=len(args.sr_folders),
-                               batch_size=args.batch_size)
+                               batch_size=args.batch_size,
+                               fused_tower=args.fused_tower)
     df = scorer.score_folder_set(args.gt_folder, args.sr_folders)
     df.to_csv(args.out, index=False)
     print(json.dumps({"groups": len(df), "sr_models": len(args.sr_folders),
@@ -444,7 +447,8 @@ def cmd_score_maps_groups(args) -> int:
 
     cfg = LocalModelConfig(
         backbone=BackboneConfig(kind=args.backbone,
-                                image_size=args.image_size),
+                                image_size=args.image_size,
+                                compute_dtype=args.dtype),
         v2=args.v2)
     model = make_local_model(cfg)
     size = cfg.backbone.image_size
@@ -461,7 +465,8 @@ def cmd_score_maps_groups(args) -> int:
                if "batch_stats" in restored else
                {"batch_stats": variables.get("batch_stats", {})})}
     scorer = GroupedMapScorer(cfg, variables, k=len(args.sr_folders),
-                              batch_size=args.batch_size)
+                              batch_size=args.batch_size,
+                              fused_tower=args.fused_tower)
     df = scorer.score_folder_set(args.gt_folder, args.sr_folders,
                                  maps_dir=args.maps_dir)
     df.to_csv(args.out, index=False)
@@ -654,6 +659,16 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint")
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="tower compute dtype — bfloat16 serves fastest; "
+                        "float32 for bit-level reproducibility (squared "
+                        "tap-diffs of near-identical pairs amplify bf16 "
+                        "rounding)")
+    p.add_argument("--fused-tower", action="store_true",
+                   help="serve the frozen ResNet tower through the "
+                        "VMEM-resident Pallas bottleneck kernel "
+                        "(srsem/backbones/fused_resnet.py)")
     p.add_argument("--out", default="group_scores.csv")
     p.set_defaults(fn=cmd_score_groups)
 
@@ -671,6 +686,14 @@ def main(argv=None) -> int:
     p.add_argument("--image-size", type=int, default=224)
     p.add_argument("--maps-dir", default=None,
                    help="save full per-pair maps as .npy here")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="tower compute dtype — bfloat16 serves fastest; "
+                        "float32 for bit-level reproducibility")
+    p.add_argument("--fused-tower", action="store_true",
+                   help="serve the frozen ResNet tower through the "
+                        "VMEM-resident Pallas bottleneck kernel "
+                        "(srsem/backbones/fused_resnet.py)")
     p.add_argument("--out", default="group_map_scores.csv")
     p.set_defaults(fn=cmd_score_maps_groups)
 
@@ -679,6 +702,9 @@ def main(argv=None) -> int:
     p.add_argument("sr_folders", nargs="+")
     p.add_argument("--backbone", default="resnet50_clip")
     p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--fused-tower", action="store_true",
+                   help="serve the frozen ResNet tower through the "
+                        "VMEM-resident Pallas bottleneck kernel")
     p.add_argument("--out-template", default="scores_{folder}.csv")
     p.set_defaults(fn=cmd_sweep_dataset)
 

@@ -40,9 +40,20 @@ class DualScorer:
     def __init__(self, global_cfg: GlobalModelConfig,
                  local_cfg: LocalModelConfig, global_variables,
                  local_variables, mesh=None, batch_size: int = 32,
-                 num_workers: int = 16, decode_backend: str = "pil"):
+                 num_workers: int = 16, decode_backend: str = "pil",
+                 fused_tower: bool = False,
+                 fused_interpret: bool | None = None):
         if global_cfg.backbone.kind != local_cfg.backbone.kind:
             raise ValueError("global/local backbones must match to share taps")
+        if fused_tower and global_cfg.backbone.kind not in (
+                "resnet50", "resnet50_clip"):
+            raise ValueError(
+                f"fused_tower needs a ResNet backbone, got "
+                f"{global_cfg.backbone.kind!r}")
+        if fused_interpret is None:
+            # See GroupedPairScorer: real Pallas kernel on TPU backends,
+            # interpret elsewhere.
+            fused_interpret = jax.default_backend() not in ("tpu", "axon")
         self.mesh = mesh or create_mesh()
         # The batch dim shards over `data`; round up so it divides evenly.
         n_data = self.mesh.shape["data"]
@@ -73,6 +84,21 @@ class DualScorer:
             else (IMAGENET_STEM_TAP,) + IMAGENET_STAGE_TAPS)
         pre = self.preprocess
 
+        kind = global_cfg.backbone.kind
+        tower_dtype = jnp.dtype(global_cfg.backbone.compute_dtype)
+
+        def tower(gvars, x):
+            """One frozen-tower pass → taps (fused Pallas interiors when
+            fused_tower; srsem/backbones/fused_resnet.py)."""
+            if fused_tower:
+                from srsem.backbones.fused_resnet import fused_apply
+
+                return fused_apply(kind, gvars["params"]["backbone"], x,
+                                   tower_dtype,
+                                   interpret=fused_interpret)[1]
+            return backbone.apply(
+                {"params": gvars["params"]["backbone"]}, x)[1]
+
         def score_both(gvars, lvars, a_u8, b_u8):
             a = pre.device_normalize(a_u8)
             b = pre.device_normalize(b_u8)
@@ -80,9 +106,8 @@ class DualScorer:
             # N-batch applies — an (a, b) concat forces a GSPMD all-to-all
             # reshard on multi-device meshes (frozen BN ⇒ identical
             # numerics either way).
-            bp = {"params": gvars["params"]["backbone"]}
-            _, taps_a = backbone.apply(bp, a)
-            _, taps_b = backbone.apply(bp, b)
+            taps_a = tower(gvars, a)
+            taps_b = tower(gvars, b)
 
             # Global head on squared diffs (aggregator applied directly).
             from srsem.models.global_models import (ConvHeadAggregator,
@@ -124,9 +149,8 @@ class DualScorer:
             # Two tower applies (G and G*K batches) — a GT+SR concat would
             # force a GSPMD all-to-all reshard on multi-device meshes (see
             # srsem/eval/grouped.py).
-            bparams = {"params": gvars["params"]["backbone"]}
-            _, taps_g = backbone.apply(bparams, gt)
-            _, taps_s = backbone.apply(bparams, sr)
+            taps_g = tower(gvars, gt)
+            taps_s = tower(gvars, sr)
 
             # Global head, fused in (G, K) layout — the helper owns the
             # aggregator param layout

@@ -53,7 +53,8 @@ class GroupedPairScorer:
 
     def __init__(self, cfg: GlobalModelConfig, variables, k: int,
                  mesh=None, batch_size: int = 32, num_workers: int = 16,
-                 fused_tower: bool = False, fused_interpret: bool = False):
+                 fused_tower: bool = False,
+                 fused_interpret: bool | None = None):
         if cfg.head not in GROUPED_HEADS:
             raise ValueError(
                 f"grouped scoring supports the linear-to-scalar heads "
@@ -69,6 +70,11 @@ class GroupedPairScorer:
             raise ValueError(
                 "fused_tower serves the frozen base tower only — it folds "
                 "BN into conv weights and carries no LoRA deltas")
+        if fused_interpret is None:
+            # Pallas TPU kernels lower only on TPU backends ("tpu", or the
+            # "axon" relay); interpret elsewhere so the fused path (and the
+            # --fused-tower CLI flag) still runs on any backend.
+            fused_interpret = jax.default_backend() not in ("tpu", "axon")
         self.cfg = cfg
         self.k = k
         self.mesh = mesh or create_mesh()
@@ -232,7 +238,7 @@ class GroupedMapScorer:
 
     def __init__(self, cfg: LocalModelConfig, variables, k: int,
                  mesh=None, batch_size: int = 8, fused_tower: bool = False,
-                 fused_interpret: bool = False):
+                 fused_interpret: bool | None = None):
         from srsem.backbones.resnet import (
             CLIP_STAGE_TAPS,
             CLIP_STEM_TAP,
@@ -248,6 +254,10 @@ class GroupedMapScorer:
             raise ValueError(
                 "fused_tower needs a frozen (no-LoRA) ResNet backbone — it "
                 "folds BN into conv weights and carries no LoRA deltas")
+        if fused_interpret is None:
+            # See GroupedPairScorer: real kernel on TPU backends, interpret
+            # elsewhere.
+            fused_interpret = jax.default_backend() not in ("tpu", "axon")
         self.cfg = cfg
         self.k = k
         self.mesh = mesh or create_mesh()

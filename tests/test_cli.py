@@ -88,6 +88,27 @@ def test_score_groups_cli(tmp_path):
     assert len(df) == 2
     assert {"model0", "model1"} <= set(df.columns)
 
+    # --fused-tower plumbing: same folders through the Pallas fused tower
+    # (auto-interprets off-TPU) must score within FP-order tolerance.
+    # Both runs at --dtype float32: with bf16 towers the squared tap-diffs
+    # of near-identical pairs amplify per-conv rounding, so bf16 fused vs
+    # bf16 dense legitimately diverge (measured ~45% on ±15-noise pairs);
+    # f32 pins the math itself.
+    out_d = str(tmp_path / "groups_f32.csv")
+    rc = main(["score-groups", str(gt), *srs, "--batch-size", "2",
+               "--image-size", "64", "--dtype", "float32", "--out", out_d])
+    assert rc == 0
+    out_f = str(tmp_path / "groups_fused.csv")
+    rc = main(["score-groups", str(gt), *srs, "--batch-size", "2",
+               "--image-size", "64", "--dtype", "float32", "--fused-tower",
+               "--out", out_f])
+    assert rc == 0
+    df_d = pd.read_csv(out_d)
+    df_f = pd.read_csv(out_f)
+    np.testing.assert_allclose(df_f[["model0", "model1"]].to_numpy(),
+                               df_d[["model0", "model1"]].to_numpy(),
+                               rtol=5e-3, atol=5e-3)
+
 
 @pytest.mark.slow
 def test_score_maps_groups_cli(tmp_path):

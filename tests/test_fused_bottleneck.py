@@ -154,6 +154,49 @@ def test_grouped_map_scorer_fused_tower_parity():
     assert float(np.abs(got - want).mean()) < 1e-4
 
 
+@pytest.mark.slow
+def test_dual_scorer_fused_tower_parity():
+    """DualScorer(fused_tower=True) == dense tower for BOTH outputs
+    (grouped scores + CLU maps; interpret kernel, FP-order tolerance)."""
+    from srsem.core.config import (BackboneConfig, GlobalModelConfig,
+                                   LocalModelConfig)
+    from srsem.eval.dataset_sweep import DualScorer
+    from srsem.models.global_models import make_global_model
+    from srsem.models.local_models import make_local_model
+
+    bb = BackboneConfig(kind="resnet50_clip", image_size=64,
+                        compute_dtype="float32")
+    gcfg = GlobalModelConfig(backbone=bb, head="stages_cnn", depth=2)
+    lcfg = LocalModelConfig(backbone=bb)
+    z = jnp.zeros((1, 64, 64, 3))
+    gvars = make_global_model(gcfg).init(jax.random.PRNGKey(0), z, z)
+    lvars = make_local_model(lcfg).init(jax.random.PRNGKey(1), z, z,
+                                        train=False)
+    # Positive head biases so the global scores clear the final ReLU.
+    gvars = jax.tree_util.tree_map_with_path(
+        lambda path, v: v + 1.0
+        if any(getattr(p, "key", None) == "bias" for p in path) else v,
+        gvars)
+
+    rng = np.random.default_rng(11)
+    g, k = 2, 2
+    gt = rng.integers(0, 256, (g, 64, 64, 3), dtype=np.uint8)
+    sr = rng.integers(0, 256, (g, k, 64, 64, 3), dtype=np.uint8)
+
+    dense = DualScorer(gcfg, lcfg, gvars, lvars, batch_size=g)
+    fused = DualScorer(gcfg, lcfg, gvars, lvars, batch_size=g,
+                       fused_tower=True, fused_interpret=True)
+    want_s, want_m = (np.asarray(jax.device_get(o))
+                      for o in dense.score_group_arrays(gt, sr))
+    got_s, got_m = (np.asarray(jax.device_get(o))
+                    for o in fused.score_group_arrays(gt, sr))
+    np.testing.assert_allclose(got_s, want_s, rtol=2e-3, atol=2e-3)
+    # Sigmoid maps: BN-fold FP-order drift through tower + decoder
+    # (see test_grouped_map_scorer_fused_tower_parity).
+    np.testing.assert_allclose(got_m, want_m, atol=6e-3)
+    assert float(np.abs(got_m - want_m).mean()) < 1e-4
+
+
 def test_grouped_scorer_fused_tower_guards():
     """fused_tower rejects non-ResNet backbones and LoRA towers."""
     from srsem.core.config import BackboneConfig, GlobalModelConfig
