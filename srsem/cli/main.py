@@ -66,7 +66,8 @@ def cmd_score(args) -> int:
 
     df = pd.read_csv(args.pairs_csv)
     pairs = list(zip(df[args.col_a], df[args.col_b]))
-    scorer = PairScorer(cfg, variables, batch_size=args.batch_size)
+    scorer = PairScorer(cfg, variables, batch_size=args.batch_size,
+                        fused_tower=args.fused_tower)
     scores = scorer.score_paths(pairs)
     df["score"] = scores
     df.to_csv(args.out, index=False)
@@ -542,6 +543,9 @@ def main(argv=None) -> int:
     p.add_argument("--backbone", default="resnet50")
     p.add_argument("--checkpoint")
     p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--fused-tower", action="store_true",
+                   help="serve the frozen ResNet tower through the "
+                        "VMEM-resident Pallas bottleneck kernel")
     p.add_argument("--out", default="scores.csv")
     p.add_argument("--set", action="append", default=[])
     p.set_defaults(fn=cmd_score)

@@ -45,7 +45,24 @@ class PairScorer:
         model_kind: str = "global",
         num_workers: int = 16,
         decode_backend: str = "pil",
+        fused_tower: bool = False,
+        fused_interpret: bool | None = None,
     ):
+        if fused_tower and cfg.backbone.kind not in (
+                "resnet50", "resnet50_clip"):
+            raise ValueError(
+                f"fused_tower needs a ResNet backbone, got "
+                f"{cfg.backbone.kind!r}")
+        if fused_tower and (getattr(cfg, "lora_rank", None) is not None
+                            or getattr(cfg.backbone, "lora_rank", None)
+                            is not None):
+            raise ValueError(
+                "fused_tower serves the frozen base tower only — it folds "
+                "BN into conv weights and carries no LoRA deltas")
+        if fused_interpret is None:
+            # Real Pallas kernel on TPU backends ("tpu"/"axon"), interpret
+            # elsewhere (see srsem/eval/grouped.py).
+            fused_interpret = jax.default_backend() not in ("tpu", "axon")
         self.cfg = cfg
         self.mesh = mesh or create_mesh()
         # The batch dim shards over `data`; round up so it divides evenly.
@@ -73,14 +90,38 @@ class PairScorer:
         data = batch_sharding(self.mesh)
         pre = self.preprocess
 
-        # Serving uses dense XLA only: the Pallas fused-head kernel
+        # Serving uses dense XLA by default: the Pallas fused-HEAD kernel
         # (srsem/ops/fused_head.py) measured slower at every published
         # config (224px b128: 4.96k vs 5.86k pairs/s; 512px b16: 714 vs
         # 820) — XLA's own fusion of diff²→1x1-conv→mean into the backbone
         # epilogue wins.  The kernel remains as a verified experiment.
+        # ``fused_tower`` opts the frozen TOWER into the VMEM-resident
+        # Pallas bottleneck kernel instead (srsem/backbones/fused_resnet.py).
+        kind = cfg.backbone.kind
+        tower_dtype = jnp.dtype(cfg.backbone.compute_dtype)
+        model_cls = type(self.model)
+
         def score_batch(variables, a_u8, b_u8):
             a = pre.device_normalize(a_u8)
             b = pre.device_normalize(b_u8)
+            if fused_tower:
+                from srsem.backbones.fused_resnet import fused_apply
+                from srsem.models.global_models import GlobalPairScorer
+
+                bp = variables["params"]["backbone"]
+                emb_a, taps_a = fused_apply(kind, bp, a, tower_dtype,
+                                            interpret=fused_interpret)
+                emb_b, taps_b = fused_apply(kind, bp, b, tower_dtype,
+                                            interpret=fused_interpret)
+                if model_kind == "local" or not isinstance(
+                        self.model, GlobalPairScorer):
+                    # CLU map model, or the head="unet_global" CluUnet copy.
+                    return self.model.apply(
+                        variables, taps_a, taps_b, a, b, False,
+                        method=model_cls.decode_from_taps)
+                return self.model.apply(
+                    variables, emb_a, emb_b, taps_a, taps_b,
+                    method=GlobalPairScorer.score_from_taps)
             if model_kind == "local":
                 return self.model.apply(variables, a, b, train=False)
             return self.model.apply(variables, a, b)
@@ -95,12 +136,24 @@ class PairScorer:
     # ---- device path ----------------------------------------------------
 
     def score_arrays(self, a_u8: np.ndarray, b_u8: np.ndarray) -> jax.Array:
-        """Score a uint8 NHWC batch pair (padded to the static batch size by
-        the caller or via score_paths)."""
+        """Score a uint8 NHWC batch pair.  The batch is zero-padded up to a
+        multiple of the mesh's ``data`` axis (the sharded dim must divide
+        evenly) and the padding rows are trimmed from the result."""
+        n = a_u8.shape[0]
+        n_data = self.mesh.shape["data"]
+        pad = (-n) % n_data
+        if pad:
+            a_u8 = np.concatenate(
+                [np.asarray(a_u8), np.zeros((pad,) + a_u8.shape[1:],
+                                            a_u8.dtype)], axis=0)
+            b_u8 = np.concatenate(
+                [np.asarray(b_u8), np.zeros((pad,) + b_u8.shape[1:],
+                                            b_u8.dtype)], axis=0)
         data = batch_sharding(self.mesh)
         a_d = jax.device_put(a_u8, data)
         b_d = jax.device_put(b_u8, data)
-        return self._score_batch(self._variables, a_d, b_d)
+        out = self._score_batch(self._variables, a_d, b_d)
+        return out[:n] if pad else out
 
     # ---- end-to-end path -------------------------------------------------
 

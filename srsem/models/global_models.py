@@ -344,20 +344,28 @@ class GlobalPairScorer(nn.Module):
             taps = jax.tree.map(jax.lax.stop_gradient, taps)
         taps_a = {k: v[:n] for k, v in taps.items()}
         taps_b = {k: v[n:] for k, v in taps.items()}
+        return self.score_from_taps(emb[:n], emb[n:], taps_a, taps_b)
 
+    def score_from_taps(self, emb_a: Array, emb_b: Array,
+                        taps_a: Dict[str, Array],
+                        taps_b: Dict[str, Array]) -> Array:
+        """Head application on precomputed tower outputs — the single owner
+        of every head's tap/param semantics.  Callable via ``model.apply(
+        variables, ..., method=GlobalPairScorer.score_from_taps)`` by
+        serving paths that produce taps elsewhere (e.g. the fused Pallas
+        tower, srsem/backbones/fused_resnet.py)."""
         if self.cfg.head == "emb_lin":
             feats = jnp.concatenate(
-                [emb[:n].astype(jnp.float32), emb[n:].astype(jnp.float32)], axis=-1)
+                [emb_a.astype(jnp.float32), emb_b.astype(jnp.float32)],
+                axis=-1)
             return self.aggregator(feats)
         if self.cfg.head == "stages_cnn_pooling":
             # Absolute (not diff) features: per-stage GAP, concat stages,
             # then concat A/B (reference :514-526).
-            pooled = [
-                jnp.mean(taps[nm].astype(jnp.float32), axis=(1, 2))
-                for nm in self.tap_names
-            ]
-            pooled = jnp.concatenate(pooled, axis=-1)
-            feats = jnp.concatenate([pooled[:n], pooled[n:]], axis=-1)
+            pool = lambda taps: jnp.concatenate(  # noqa: E731
+                [jnp.mean(taps[nm].astype(jnp.float32), axis=(1, 2))
+                 for nm in self.tap_names], axis=-1)
+            feats = jnp.concatenate([pool(taps_a), pool(taps_b)], axis=-1)
             return self.aggregator(feats)
         diffs = squared_diffs(taps_a, taps_b, self.tap_names)
         return self.aggregator(diffs)

@@ -155,6 +155,68 @@ def test_grouped_map_scorer_fused_tower_parity():
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("head", ["stages_cnn", "emb_lin"])
+def test_pair_scorer_fused_tower_parity(head):
+    """PairScorer(fused_tower=True) == the dense scorer for the conv-diff
+    head AND the embedding MLP head (the latter exercises the fused
+    tower's pooled-embedding output)."""
+    from srsem.core.config import BackboneConfig, GlobalModelConfig
+    from srsem.eval.scorer import PairScorer
+    from srsem.models.global_models import make_global_model
+
+    cfg = GlobalModelConfig(
+        backbone=BackboneConfig(kind="resnet50", image_size=64,
+                                compute_dtype="float32"),
+        head=head, depth=2)
+    model = make_global_model(cfg)
+    z = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(2), z, z)
+    if head == "stages_cnn":  # push past the final ReLU (see above)
+        variables = jax.tree_util.tree_map_with_path(
+            lambda path, v: v + 1.0
+            if any(getattr(p, "key", None) == "bias" for p in path) else v,
+            variables)
+
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 256, (2, 64, 64, 3), dtype=np.uint8)
+    b = rng.integers(0, 256, (2, 64, 64, 3), dtype=np.uint8)
+
+    dense = PairScorer(cfg, variables, batch_size=2)
+    fused = PairScorer(cfg, variables, batch_size=2, fused_tower=True,
+                       fused_interpret=True)
+    want = np.asarray(jax.device_get(dense.score_arrays(a, b)))
+    got = np.asarray(jax.device_get(fused.score_arrays(a, b)))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_pair_scorer_local_fused_tower_parity():
+    """PairScorer(model_kind='local', fused_tower=True) == dense CLU maps."""
+    from srsem.core.config import BackboneConfig, LocalModelConfig
+    from srsem.eval.scorer import PairScorer
+
+    cfg = LocalModelConfig(
+        backbone=BackboneConfig(kind="resnet50_clip", image_size=64,
+                                compute_dtype="float32"))
+    rng = np.random.default_rng(6)
+    a = rng.integers(0, 256, (2, 64, 64, 3), dtype=np.uint8)
+    b = rng.integers(0, 256, (2, 64, 64, 3), dtype=np.uint8)
+
+    from srsem.models.local_models import make_local_model
+
+    z = jnp.zeros((1, 64, 64, 3))
+    variables = make_local_model(cfg).init(jax.random.PRNGKey(4), z, z,
+                                           train=False)
+    dense = PairScorer(cfg, variables, batch_size=2, model_kind="local")
+    fused = PairScorer(cfg, variables, batch_size=2, model_kind="local",
+                       fused_tower=True, fused_interpret=True)
+    want = np.asarray(jax.device_get(dense.score_arrays(a, b)))
+    got = np.asarray(jax.device_get(fused.score_arrays(a, b)))
+    np.testing.assert_allclose(got, want, atol=6e-3)
+    assert float(np.abs(got - want).mean()) < 1e-4
+
+
+@pytest.mark.slow
 def test_dual_scorer_fused_tower_parity():
     """DualScorer(fused_tower=True) == dense tower for BOTH outputs
     (grouped scores + CLU maps; interpret kernel, FP-order tolerance)."""
