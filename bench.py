@@ -262,6 +262,42 @@ def main() -> None:
         t16 = _throughput(score_maps16, (lvars, la, lb), lbatch, 40)
         note("clu_maps_bf16_decoder", t16)
 
+        # Fused Pallas decoder levels (serving BN folded into conv weights,
+        # one VMEM-resident kernel per UNet level — srsem/ops/
+        # fused_decoder.py) over the dense tower, bf16 decoder mode.
+        from srsem.backbones.resnet import (CLIP_STAGE_TAPS, CLIP_STEM_TAP,
+                                            make_backbone as mk_fd)
+        from srsem.models.local_models import fused_serving_decode
+
+        fd_bb = mk_fd(lcfg.backbone)
+        fd_names = (CLIP_STEM_TAP,) + CLIP_STAGE_TAPS
+
+        @jax.jit
+        def score_maps_fd(v, a, b):
+            an = lpre.device_normalize(a)
+            bn_ = lpre.device_normalize(b)
+            n = an.shape[0]
+            _, taps = fd_bb.apply({"params": v["params"]["backbone"]},
+                                  jnp.concatenate([an, bn_], axis=0))
+            diffs = [((taps[nm][:n].astype(jnp.float32)
+                       - taps[nm][n:].astype(jnp.float32)) ** 2
+                      ).astype(jnp.bfloat16) for nm in fd_names]
+            return fused_serving_decode(lmodel16, v, diffs)
+
+        tfd = None
+        for _attempt in range(3):  # axon remote-compile helper 500s flakily
+            try:
+                tfd = _throughput(score_maps_fd, (lvars, la, lb), lbatch, 40)
+                break
+            except Exception as e:
+                print(json.dumps({"bench": "clu_maps_fused_decoder",
+                                  "attempt": _attempt,
+                                  "error": str(e)[:200]}),
+                      file=sys.stderr, flush=True)
+                time.sleep(5)
+        if tfd is not None:
+            note("clu_maps_fused_decoder", tfd)
+
         # Grouped GT-vs-K-SR map scoring: one shared GT tower pass per
         # group feeds all K decoder runs (srsem/eval/grouped.py::
         # GroupedMapScorer, diffs via fused broadcast + decode_from_diffs).

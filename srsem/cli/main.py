@@ -39,6 +39,87 @@ def _parse_sets(pairs: List[str]) -> Dict[str, Any]:
     return out
 
 
+def _load_param_tree(path: str) -> Dict[str, Any]:
+    """Read a flax-msgpack param tree (the ``convert`` subcommand's output)."""
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def _with_backbone(variables: Dict[str, Any], path: str) -> Dict[str, Any]:
+    """Replace ``variables["params"]["backbone"]`` with a converted
+    pretrained tower (``srsem convert``) — the serving-time analogue of the
+    reference's ``timm.create_model(..., pretrained=True)``
+    (reference: models/global_eval_models.py:315)."""
+    if not path:
+        return variables
+    tree = _load_param_tree(path)
+    return {**variables,
+            "params": {**variables["params"], "backbone": tree}}
+
+
+def cmd_convert(args) -> int:
+    """Convert torch pretrained checkpoints to srsem param trees.
+
+    Wraps the parity-tested converters (srsem/utils/convert.py,
+    srsem/pseudo/text_embed.py, srsem/eval/lpips.py); output is a flax
+    msgpack file consumed by ``--backbone-checkpoint`` / the embedding
+    stacks.  Keeps the zero-egress contingency ready: the moment official
+    weights are available, ``srsem convert`` + ``eval-global`` reproduces
+    the reference README numbers (reference: README.md:98-105)."""
+    import jax
+    import torch
+    from flax import serialization
+
+    from srsem.utils import convert as cv
+
+    def load_sd(path):
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+        if isinstance(sd, dict) and isinstance(sd.get("model"), dict):
+            sd = sd["model"]
+        return sd
+
+    sd = load_sd(args.input)
+    kind = args.kind
+    if kind == "resnet50":
+        tree = cv.convert_torch_resnet50(sd)
+    elif kind == "resnet50_clip":
+        tree = cv.convert_clip_resnet50(sd, image_size=args.image_size)
+    elif kind == "clip_vit":
+        tree = cv.convert_clip_vit(sd)
+    elif kind == "hf_clip_text":
+        tree = cv.convert_hf_clip_text(sd)
+    elif kind == "hf_clip_vit":
+        tree = cv.convert_hf_clip_vit(sd)
+    elif kind == "clip_text":
+        tree = cv.convert_clip_text(sd)
+    elif kind == "slip":
+        tree = cv.convert_slip(sd)
+    elif kind == "minilm":
+        from srsem.pseudo.text_embed import convert_hf_minilm
+
+        tree = convert_hf_minilm(sd)
+    elif kind == "lpips":
+        from srsem.eval.lpips import convert_lpips
+
+        if not args.tower:
+            raise SystemExit("--tower (AlexNet/VGG16 feature sd) is "
+                             "required for kind=lpips")
+        tree = convert_lpips(sd, load_sd(args.tower), net=args.lpips_net)
+    else:
+        raise SystemExit(f"unknown kind {kind!r}")
+    with open(args.out, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(tree)))
+    print(json.dumps({"kind": kind, "out": args.out,
+                      "n_arrays": len(jax.tree.leaves(tree))}))
+    return 0
+
+
 def cmd_score(args) -> int:
     import jax
     import jax.numpy as jnp
@@ -57,6 +138,7 @@ def cmd_score(args) -> int:
     size = cfg.backbone.image_size
     z = jnp.zeros((1, size, size, 3))
     variables = model.init(jax.random.PRNGKey(0), z, z)
+    variables = _with_backbone(variables, args.backbone_checkpoint)
     if args.checkpoint:
         restored = restore_checkpoint(args.checkpoint)  # raw nested dict
         from srsem.train.partition import merge_params
@@ -124,6 +206,7 @@ def cmd_eval_global(args) -> int:
     size = cfg.backbone.image_size
     z = jnp.zeros((1, size, size, 3))
     variables = model.init(jax.random.PRNGKey(0), z, z)
+    variables = _with_backbone(variables, args.backbone_checkpoint)
     if args.checkpoint:
         restored = restore_checkpoint(args.checkpoint)
         variables = {"params": merge_params(
@@ -389,7 +472,8 @@ def cmd_sweep_dataset(args) -> int:
     gvars = make_global_model(gcfg).init(jax.random.PRNGKey(0), z, z)
     lvars = make_local_model(lcfg).init(jax.random.PRNGKey(1), z, z, train=False)
     scorer = DualScorer(gcfg, lcfg, gvars, lvars, batch_size=args.batch_size,
-                        fused_tower=args.fused_tower)
+                        fused_tower=args.fused_tower,
+                        fused_decoder=args.fused_decoder)
     summary = {}
     for sr_folder in args.sr_folders:
         df = scorer.score_folders(args.gt_folder, sr_folder)
@@ -419,6 +503,7 @@ def cmd_score_groups(args) -> int:
     size = cfg.backbone.image_size
     z = jnp.zeros((1, size, size, 3))
     variables = model.init(jax.random.PRNGKey(0), z, z)
+    variables = _with_backbone(variables, args.backbone_checkpoint)
     if args.checkpoint:
         from srsem.train.checkpoint import restore_checkpoint
         from srsem.train.partition import merge_params
@@ -455,6 +540,7 @@ def cmd_score_maps_groups(args) -> int:
     size = cfg.backbone.image_size
     z = jnp.zeros((1, size, size, 3))
     variables = model.init(jax.random.PRNGKey(0), z, z, train=False)
+    variables = _with_backbone(variables, args.backbone_checkpoint)
     if args.checkpoint:
         from srsem.train.checkpoint import restore_checkpoint
         from srsem.train.partition import merge_params
@@ -467,7 +553,8 @@ def cmd_score_maps_groups(args) -> int:
                {"batch_stats": variables.get("batch_stats", {})})}
     scorer = GroupedMapScorer(cfg, variables, k=len(args.sr_folders),
                               batch_size=args.batch_size,
-                              fused_tower=args.fused_tower)
+                              fused_tower=args.fused_tower,
+                              fused_decoder=args.fused_decoder)
     df = scorer.score_folder_set(args.gt_folder, args.sr_folders,
                                  maps_dir=args.maps_dir)
     df.to_csv(args.out, index=False)
@@ -537,6 +624,9 @@ def main(argv=None) -> int:
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("score", help="batch-score GT/SR pairs from a CSV")
+    p.add_argument("--backbone-checkpoint", default=None,
+                   help="converted pretrained tower (srsem convert) to "
+                        "load into params['backbone']")
     p.add_argument("pairs_csv")
     p.add_argument("--col-a", default="img_a_pth")
     p.add_argument("--col-b", default="img_b_pth")
@@ -561,6 +651,9 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("eval-global",
                        help="SRCC/MSE vs the user-study labels")
+    p.add_argument("--backbone-checkpoint", default=None,
+                   help="converted pretrained tower (srsem convert) to "
+                        "load into params['backbone']")
     p.add_argument("csv")
     p.add_argument("root")
     p.add_argument("--backbone", default="resnet50")
@@ -673,6 +766,9 @@ def main(argv=None) -> int:
                    help="serve the frozen ResNet tower through the "
                         "VMEM-resident Pallas bottleneck kernel "
                         "(srsem/backbones/fused_resnet.py)")
+    p.add_argument("--backbone-checkpoint", default=None,
+                   help="converted pretrained tower (srsem convert) to "
+                        "load into params['backbone']")
     p.add_argument("--out", default="group_scores.csv")
     p.set_defaults(fn=cmd_score_groups)
 
@@ -698,8 +794,30 @@ def main(argv=None) -> int:
                    help="serve the frozen ResNet tower through the "
                         "VMEM-resident Pallas bottleneck kernel "
                         "(srsem/backbones/fused_resnet.py)")
+    p.add_argument("--fused-decoder", action="store_true",
+                   help="serve the UNet decoder through the fused Pallas "
+                        "level kernels, serving BN folded into conv "
+                        "weights (srsem/ops/fused_decoder.py)")
+    p.add_argument("--backbone-checkpoint", default=None,
+                   help="converted pretrained tower (srsem convert) to "
+                        "load into params['backbone']")
     p.add_argument("--out", default="group_map_scores.csv")
     p.set_defaults(fn=cmd_score_maps_groups)
+
+    p = sub.add_parser("convert", help="convert torch pretrained "
+                       "checkpoints to srsem param trees (flax msgpack)")
+    p.add_argument("input", help="torch .pt/.pth state dict")
+    p.add_argument("--kind", required=True,
+                   choices=["resnet50", "resnet50_clip", "clip_vit",
+                            "hf_clip_text", "hf_clip_vit", "clip_text",
+                            "slip", "minilm", "lpips"])
+    p.add_argument("--image-size", type=int, default=224,
+                   help="for resnet50_clip: attnpool grid size")
+    p.add_argument("--tower", default=None,
+                   help="for lpips: the AlexNet/VGG16 feature state dict")
+    p.add_argument("--lpips-net", default="alex", choices=["alex", "vgg"])
+    p.add_argument("--out", default="converted.msgpack")
+    p.set_defaults(fn=cmd_convert)
 
     p = sub.add_parser("sweep-dataset")
     p.add_argument("gt_folder")
@@ -709,6 +827,9 @@ def main(argv=None) -> int:
     p.add_argument("--fused-tower", action="store_true",
                    help="serve the frozen ResNet tower through the "
                         "VMEM-resident Pallas bottleneck kernel")
+    p.add_argument("--fused-decoder", action="store_true",
+                   help="serve the UNet decoder through the fused Pallas "
+                        "level kernels (srsem/ops/fused_decoder.py)")
     p.add_argument("--out-template", default="scores_{folder}.csv")
     p.set_defaults(fn=cmd_sweep_dataset)
 

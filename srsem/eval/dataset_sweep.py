@@ -42,6 +42,7 @@ class DualScorer:
                  local_variables, mesh=None, batch_size: int = 32,
                  num_workers: int = 16, decode_backend: str = "pil",
                  fused_tower: bool = False,
+                 fused_decoder: bool = False,
                  fused_interpret: bool | None = None):
         if global_cfg.backbone.kind != local_cfg.backbone.kind:
             raise ValueError("global/local backbones must match to share taps")
@@ -118,6 +119,22 @@ class DualScorer:
             scores = agg.apply({"params": gvars["params"]["aggregator"]}, diffs)
 
             # CLU decoder over the same taps.
+            if fused_decoder:
+                # Fused Pallas decoder levels with serving BN folded
+                # (srsem/models/local_models.py::fused_serving_decode).
+                from srsem.models.local_models import fused_serving_decode
+
+                dd = jnp.dtype(lmodel.decoder_dtype)
+                ldiffs = [
+                    ((taps_a[nm].astype(jnp.float32)
+                      - taps_b[nm].astype(jnp.float32)) ** 2).astype(dd)
+                    for nm in lmodel_tap_names]
+                img_sq = (jnp.mean(
+                    (a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2,
+                    axis=-1, keepdims=True) if lmodel.v2 else None)
+                maps = fused_serving_decode(lmodel, lvars, ldiffs, img_sq,
+                                            interpret=fused_interpret)
+                return scores, maps
             maps = lmodel.apply(
                 {"params": {**lvars["params"],
                             "backbone": gvars["params"]["backbone"]},
@@ -172,12 +189,18 @@ class DualScorer:
                 sr_f = sr.reshape((g, k) + sr.shape[1:]).astype(jnp.float32)
                 img_sq = jnp.mean((gt_f - sr_f) ** 2, axis=-1, keepdims=True)
                 img_sq = img_sq.reshape((g * k,) + img_sq.shape[2:])
-            maps = lmodel.apply(
-                {"params": {**lvars["params"],
-                            "backbone": gvars["params"]["backbone"]},
-                 **({"batch_stats": lvars["batch_stats"]}
-                    if "batch_stats" in lvars else {})},
-                diffs, img_sq, False, method=CluUnet.decode_from_diffs)
+            if fused_decoder:
+                from srsem.models.local_models import fused_serving_decode
+
+                maps = fused_serving_decode(lmodel, lvars, diffs, img_sq,
+                                            interpret=fused_interpret)
+            else:
+                maps = lmodel.apply(
+                    {"params": {**lvars["params"],
+                                "backbone": gvars["params"]["backbone"]},
+                     **({"batch_stats": lvars["batch_stats"]}
+                        if "batch_stats" in lvars else {})},
+                    diffs, img_sq, False, method=CluUnet.decode_from_diffs)
             return scores, maps.reshape((g, k) + maps.shape[1:])
 
         self._score_groups = jax.jit(

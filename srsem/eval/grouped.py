@@ -238,6 +238,7 @@ class GroupedMapScorer:
 
     def __init__(self, cfg: LocalModelConfig, variables, k: int,
                  mesh=None, batch_size: int = 8, fused_tower: bool = False,
+                 fused_decoder: bool = False,
                  fused_interpret: bool | None = None):
         from srsem.backbones.resnet import (
             CLIP_STAGE_TAPS,
@@ -303,11 +304,19 @@ class GroupedMapScorer:
                 sr_f = sr.reshape((g, kk) + sr.shape[1:]).astype(jnp.float32)
                 img_sq = jnp.mean((gt_f - sr_f) ** 2, axis=-1, keepdims=True)
                 img_sq = img_sq.reshape((g * kk,) + img_sq.shape[2:])
-            maps = model.apply(
-                {"params": v["params"],
-                 **({"batch_stats": v["batch_stats"]}
-                    if "batch_stats" in v else {})},
-                diffs, img_sq, False, method=CluUnet.decode_from_diffs)
+            if fused_decoder:
+                # Fused Pallas decoder levels, serving BN folded into conv
+                # weights (srsem/models/local_models.py::fused_serving_decode).
+                from srsem.models.local_models import fused_serving_decode
+
+                maps = fused_serving_decode(model, v, diffs, img_sq,
+                                            interpret=fused_interpret)
+            else:
+                maps = model.apply(
+                    {"params": v["params"],
+                     **({"batch_stats": v["batch_stats"]}
+                        if "batch_stats" in v else {})},
+                    diffs, img_sq, False, method=CluUnet.decode_from_diffs)
             return maps.reshape((g, kk) + maps.shape[1:])
 
         repl = replicated_sharding(self.mesh)

@@ -46,6 +46,7 @@ class PairScorer:
         num_workers: int = 16,
         decode_backend: str = "pil",
         fused_tower: bool = False,
+        fused_decoder: bool = False,
         fused_interpret: bool | None = None,
     ):
         if fused_tower and cfg.backbone.kind not in (
@@ -97,24 +98,68 @@ class PairScorer:
         # epilogue wins.  The kernel remains as a verified experiment.
         # ``fused_tower`` opts the frozen TOWER into the VMEM-resident
         # Pallas bottleneck kernel instead (srsem/backbones/fused_resnet.py).
+        # ``fused_decoder`` opts the CLU UNet decoder into the fused Pallas
+        # level kernels with serving BN folded into the conv weights
+        # (srsem/models/local_models.py::fused_serving_decode).
         kind = cfg.backbone.kind
         tower_dtype = jnp.dtype(cfg.backbone.compute_dtype)
         model_cls = type(self.model)
+        from srsem.models.local_models import CluUnet
+
+        is_clu = isinstance(self.model, CluUnet)
+        if fused_decoder and not is_clu:
+            raise ValueError(
+                "fused_decoder applies to the CLU UNet decoder — use "
+                "model_kind='local' (or the head='unet_global' copy)")
+        dense_tower = None
+        if fused_decoder and not fused_tower:
+            from srsem.backbones.resnet import make_backbone
+
+            dense_tower = make_backbone(cfg.backbone)
+        if is_clu:
+            from srsem.backbones.resnet import (
+                CLIP_STAGE_TAPS, CLIP_STEM_TAP, IMAGENET_STAGE_TAPS,
+                IMAGENET_STEM_TAP)
+
+            tap_names = ((CLIP_STEM_TAP,) + CLIP_STAGE_TAPS
+                         if kind == "resnet50_clip"
+                         else (IMAGENET_STEM_TAP,) + IMAGENET_STAGE_TAPS)
 
         def score_batch(variables, a_u8, b_u8):
             a = pre.device_normalize(a_u8)
             b = pre.device_normalize(b_u8)
-            if fused_tower:
-                from srsem.backbones.fused_resnet import fused_apply
+            if fused_tower or fused_decoder:
                 from srsem.models.global_models import GlobalPairScorer
+                from srsem.models.local_models import fused_serving_decode
 
-                bp = variables["params"]["backbone"]
-                emb_a, taps_a = fused_apply(kind, bp, a, tower_dtype,
-                                            interpret=fused_interpret)
-                emb_b, taps_b = fused_apply(kind, bp, b, tower_dtype,
-                                            interpret=fused_interpret)
-                if model_kind == "local" or not isinstance(
-                        self.model, GlobalPairScorer):
+                if fused_tower:
+                    from srsem.backbones.fused_resnet import fused_apply
+
+                    bp = variables["params"]["backbone"]
+                    emb_a, taps_a = fused_apply(kind, bp, a, tower_dtype,
+                                                interpret=fused_interpret)
+                    emb_b, taps_b = fused_apply(kind, bp, b, tower_dtype,
+                                                interpret=fused_interpret)
+                else:  # fused_decoder over the dense XLA tower
+                    bp = {"params": variables["params"]["backbone"]}
+                    emb_a, taps_a = dense_tower.apply(bp, a)
+                    emb_b, taps_b = dense_tower.apply(bp, b)
+                if is_clu and fused_decoder:
+                    dd = self.model.decoder_dtype
+                    diffs = [
+                        ((taps_a[nm].astype(jnp.float32)
+                          - taps_b[nm].astype(jnp.float32)) ** 2).astype(dd)
+                        for nm in tap_names]
+                    img_sq = None
+                    if self.model.v2:
+                        img_sq = jnp.mean(
+                            (a.astype(jnp.float32)
+                             - b.astype(jnp.float32)) ** 2,
+                            axis=-1, keepdims=True)
+                    return fused_serving_decode(
+                        self.model, variables, diffs, img_sq,
+                        interpret=fused_interpret)
+                if is_clu:
                     # CLU map model, or the head="unet_global" CluUnet copy.
                     return self.model.apply(
                         variables, taps_a, taps_b, a, b, False,

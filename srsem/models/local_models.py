@@ -281,6 +281,118 @@ class CluUnet(nn.Module):
         return jax.nn.sigmoid(h) if self.sigmoid else h
 
 
+#: Decoder levels routed through the fused Pallas kernel by default.
+#: Level 4 (7x7, 2048→2048) is excluded by construction: its two conv
+#: kernels are ~75 MB each in bf16 — more than v5e VMEM — and the level is
+#: compute-bound 3072-wide matmul work XLA already runs well.  Level 3
+#: (14x14, (1024+2048)→1024) fits (~83 MB weights+activations) but sits
+#: close to the 100 MB compiler limit, so it is opt-in until the on-chip
+#: A/B clears it (scripts/ab_fused_decoder.py).
+DEFAULT_FUSE_LEVELS: Tuple[int, ...] = (0, 1, 2)
+
+
+def folded_decoder_weights(variables: Dict, lvl: int, cd: int):
+    """BN-folded serving weights of decoder level ``lvl``.
+
+    Returns ``(w1d, w1u, b1, w2, b2, final_kernel)`` with conv1 split at
+    ``cd`` input channels (the skip-diff branch) — w1u is None for the
+    deepest level, whose block consumes the diff alone.  Serving BN uses
+    running statistics, a per-channel affine that folds exactly into the
+    conv weights (srsem/ops/fused_bottleneck.py::fold_bn_into_conv), so
+    this is the single owner of the decoder's param/batch_stats layout for
+    every fused serving path (srsem/ops/fused_decoder.py consumes shapes
+    only)."""
+    from srsem.ops.fused_bottleneck import fold_bn_into_conv
+
+    name = f"decoder.{lvl}"
+    p = variables["params"][name]
+    stats = variables.get("batch_stats", {}).get(name, {})
+
+    def bn(which: str) -> dict:
+        return {**p[which], **stats[which]}
+
+    w1, b1 = fold_bn_into_conv(p["conv1"]["kernel"], bn("bn1"),
+                               bias=p["conv1"]["bias"])
+    w1d, w1u = w1[:, :, :cd], (w1[:, :, cd:] if w1.shape[2] > cd else None)
+    if "bn2" in p:
+        w2, b2 = fold_bn_into_conv(p["conv2"]["kernel"], bn("bn2"),
+                                   bias=p["conv2"]["bias"])
+    else:  # level 0: Conv1x1 → 1 channel, no second BN (reference :39-45)
+        w2, b2 = p["conv2"]["kernel"], p["conv2"]["bias"]
+    final_kernel = w2.shape[0]
+    return w1d, w1u, b1, w2, b2, final_kernel
+
+
+def _xla_decoder_level(d: Array, u: Optional[Array], w1d: Array,
+                       w1u: Optional[Array], b1: Array, w2: Array,
+                       b2: Array, final_kernel: int, dtype: Any) -> Array:
+    """Folded-weight decoder level on plain XLA convs — identical math to
+    the fused kernel; the fallback for levels outside ``fuse_levels``."""
+
+    def cv(x, k):
+        return jax.lax.conv_general_dilated(
+            x.astype(dtype), k.astype(dtype), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    h = cv(d, w1d)
+    if u is not None:
+        h = h + cv(u, w1u)
+    h = nn.relu(h + b1.astype(dtype))
+    y = cv(h, w2) if final_kernel == 3 else (
+        h @ w2[0, 0].astype(dtype))
+    return nn.relu(y + b2.astype(dtype))
+
+
+def fused_serving_decode(model: "CluUnet", variables: Dict,
+                         diffs: List[Array],
+                         img_sq: Optional[Array] = None,
+                         interpret: bool = False,
+                         fuse_levels: Optional[Tuple[int, ...]] = None
+                         ) -> Array:
+    """Serving-only UNet decode with fused Pallas levels.
+
+    Mirrors :meth:`CluUnet.decode_from_diffs` (eval mode) with every level
+    in ``fuse_levels`` running as ONE VMEM-resident kernel (conv1-split +
+    folded BN + ReLU + conv2 + folded BN + ReLU — srsem/ops/
+    fused_decoder.py) and the rest on folded-weight XLA convs.  BatchNorm
+    running statistics fold into the conv weights, so results match the
+    train=False decoder up to FP reduction order."""
+    from srsem.ops.fused_decoder import fused_decoder_level
+
+    if fuse_levels is None:
+        fuse_levels = DEFAULT_FUSE_LEVELS
+    dd = model.decoder_dtype
+    if model.v2:
+        if img_sq is None:
+            raise ValueError("v2 decode needs the pixel img_sq channel")
+        diffs = [
+            jnp.concatenate(
+                [d, resize_bilinear_mxu(img_sq, d.shape[1:3],
+                                        align_corners=False).astype(d.dtype)],
+                axis=-1)
+            for d in diffs
+        ]
+
+    def level(lvl: int, d: Array, u: Optional[Array]) -> Array:
+        wts = folded_decoder_weights(variables, lvl, d.shape[-1])
+        w1d, w1u, b1, w2, b2, fk = wts
+        if lvl in fuse_levels:
+            return fused_decoder_level(
+                d.astype(dd), None if u is None else u.astype(dd),
+                w1d, w1u, b1, w2, b2, final_kernel=fk,
+                compute_dtype=jnp.dtype(dd), interpret=interpret)
+        return _xla_decoder_level(d, u, w1d, w1u, b1, w2, b2, fk, dd)
+
+    h = level(len(diffs) - 1, diffs[-1], None)
+    h = upsample_x2_align_corners(h, compute_dtype=dd)
+    for lvl in range(len(diffs) - 2, -1, -1):
+        h = level(lvl, diffs[lvl], h)
+        h = upsample_x2_align_corners(h, compute_dtype=dd)
+
+    h = h[..., 0].astype(jnp.float32)
+    return jax.nn.sigmoid(h) if model.sigmoid else h
+
+
 def make_local_model(cfg: LocalModelConfig,
                      split_tower: bool = False,
                      width_mult: float = 1.0) -> CluUnet:

@@ -138,3 +138,52 @@ def test_score_maps_groups_cli(tmp_path):
     assert df[["model0_map_mean", "model1_map_mean"]].notna().all().all()
     m = np.load(os.path.join(maps_dir, "0__model0.npy"))
     assert m.shape == (64, 64) and np.isfinite(m).all()
+
+
+@pytest.mark.slow
+def test_convert_cli_and_backbone_checkpoint(tmp_path):
+    """``srsem convert`` (torch sd → flax msgpack) round-trips numerically,
+    and ``score --backbone-checkpoint`` loads the converted tower — the
+    ready-to-run path for official pretrained weights (reference:
+    models/global_eval_models.py:315 timm pretrained towers)."""
+    torch = pytest.importorskip("torch")
+    import test_torch_parity as ttp
+    from flax import serialization
+
+    from srsem.backbones.resnet import ImageNetResNet50
+
+    tm = ttp.TorchResNet50().eval()
+    ttp._randomize_bn(tm)
+    pt = str(tmp_path / "rn50.pt")
+    torch.save(tm.state_dict(), pt)
+    out = str(tmp_path / "rn50.msgpack")
+    assert main(["convert", pt, "--kind", "resnet50", "--out", out]) == 0
+
+    with open(out, "rb") as f:
+        params = serialization.msgpack_restore(f.read())
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+    pooled, _ = ImageNetResNet50(dtype=np.float32).apply({"params": params}, x)
+    with torch.no_grad():
+        t_pooled, _ = tm(ttp._nchw(x))
+    np.testing.assert_allclose(np.asarray(pooled), t_pooled.numpy(),
+                               rtol=1e-4, atol=1e-4)
+
+    imgs = []
+    for i in range(2):
+        for side in "ab":
+            p = str(tmp_path / f"{i}{side}.png")
+            Image.fromarray(rng.integers(0, 256, (64, 64, 3),
+                                         dtype=np.uint8)).save(p)
+            imgs.append(p)
+    csv = str(tmp_path / "pairs.csv")
+    pd.DataFrame({"img_a_pth": imgs[::2],
+                  "img_b_pth": imgs[1::2]}).to_csv(csv, index=False)
+    scores_csv = str(tmp_path / "scores.csv")
+    rc = main(["score", csv, "--backbone-checkpoint", out,
+               "--set", "backbone.image_size=64",
+               "--set", "backbone.compute_dtype=float32",
+               "--batch-size", "2", "--out", scores_csv])
+    assert rc == 0
+    df = pd.read_csv(scores_csv)
+    assert np.isfinite(df["score"]).all()
