@@ -262,6 +262,21 @@ def main() -> None:
         t16 = _throughput(score_maps16, (lvars, la, lb), lbatch, 40)
         note("clu_maps_bf16_decoder", t16)
 
+        # 512px maps (BASELINE config #1 is a 512px pair): decoder
+        # activations are ~5.2x larger, batch shrinks to fit.
+        try:
+            hb5 = 8
+            la5 = jax.device_put(host.integers(
+                0, 256, (hb5, 512, 512, 3), dtype=np.uint8), data)
+            lb5 = jax.device_put(host.integers(
+                0, 256, (hb5, 512, 512, 3), dtype=np.uint8), data)
+            note("clu_maps_512px",
+                 _throughput(score_maps16, (lvars, la5, lb5), hb5, 15))
+        except Exception as e:
+            print(json.dumps({"bench": "clu_maps_512px",
+                              "error": str(e)[:200]}),
+                  file=sys.stderr, flush=True)
+
         # Fused Pallas decoder levels (serving BN folded into conv weights,
         # one VMEM-resident kernel per UNet level — srsem/ops/
         # fused_decoder.py) over the dense tower, bf16 decoder mode.
