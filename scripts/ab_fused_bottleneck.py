@@ -97,9 +97,9 @@ def ab_blocks(batch=128):
               f"maxerr {err:.4f}", flush=True)
 
 
-def ab_tower(kind, batch=128, size=224):
+def ab_tower(kind, batch=128, size=224, fuse_stages=(1, 2, 3)):
     print(f"--- full tower A/B: {kind}, batch={batch}, {size}px, "
-          f"fuse_stages=(1,2,3) ---", flush=True)
+          f"fuse_stages={fuse_stages} ---", flush=True)
     model = (ImageNetResNet50(dtype=jnp.bfloat16) if kind == "resnet50"
              else ClipResNet50(dtype=jnp.bfloat16, image_size=size))
     rng = np.random.default_rng(1)
@@ -110,7 +110,8 @@ def ab_tower(kind, batch=128, size=224):
     params = variables["params"]
 
     flax_fn = jax.jit(lambda p, x: model.apply({"params": p}, x))
-    fused_fn = jax.jit(lambda p, x: fused_apply(kind, p, x))
+    fused_fn = jax.jit(lambda p, x: fused_apply(kind, p, x,
+                                                fuse_stages=fuse_stages))
 
     def timeit(fn, iters=20):
         out = fn(params, x)
@@ -151,6 +152,9 @@ if __name__ == "__main__":
     ab_blocks()
     ab_tower("resnet50_clip")
     ab_tower("resnet50")
+    # stage 0 via the halo-tiled kernel (TILED_STAGE_ROWS)
+    ab_tower("resnet50", fuse_stages=(0, 1, 2, 3))
+    ab_tower("resnet50_clip", fuse_stages=(0, 1, 2, 3))
     # BASELINE config #1 is a 512px pair: stage activations are ~5.2x
     # larger, so VMEM-residency saves proportionally more HBM traffic.
     ab_tower("resnet50", batch=16, size=512)

@@ -56,21 +56,30 @@ def main():
         print(f"  xla decode_from_diffs: {t_xla*1e3:7.2f} ms "
               f"({BATCH/t_xla:7.1f} maps/s)", flush=True)
 
-        for levels in [(0,), (1,), (2,), (3,), (0, 1, 2), (0, 1, 2, 3)]:
-            fused_fn = jax.jit(lambda v, ds, lv=levels: fused_serving_decode(
-                model, v, ds, fuse_levels=lv))
+        # (fuse_levels, tiled_rows): {} = whole-image kernels; None =
+        # the production default (L0/L1 halo-tiled); explicit dicts probe
+        # tile sizes.
+        for levels, rows in [
+                ((0,), {}), ((0,), {0: 8}), ((0,), {0: 16}),
+                ((1,), {}), ((1,), {1: 8}), ((1,), {1: 14}),
+                ((2,), {}), ((3,), {}),
+                ((0, 1, 2), None), ((0, 1, 2), {}),
+                ((0, 1, 2, 3), None)]:
+            fused_fn = jax.jit(
+                lambda v, ds, lv=levels, tr=rows: fused_serving_decode(
+                    model, v, ds, fuse_levels=lv, tiled_rows=tr))
             try:
                 t = timeit(fused_fn, variables, diffs)
             except Exception as e:
-                print(f"  fused levels={levels}: FAILED {str(e)[:160]}",
-                      flush=True)
+                print(f"  fused levels={levels} rows={rows}: FAILED "
+                      f"{str(e)[:160]}", flush=True)
                 continue
             want = np.asarray(jax.device_get(xla_fn(variables, diffs)),
                               np.float32)
             got = np.asarray(jax.device_get(fused_fn(variables, diffs)),
                              np.float32)
             err = float(np.abs(want - got).max())
-            print(f"  fused levels={levels}: {t*1e3:7.2f} ms "
+            print(f"  fused levels={levels} rows={rows}: {t*1e3:7.2f} ms "
                   f"({BATCH/t:7.1f} maps/s)  speedup {t_xla/t:5.2f}x  "
                   f"maxerr {err:.4f}", flush=True)
 

@@ -38,6 +38,7 @@ from srsem.ops.fused_bottleneck import (
     bottleneck_weights,
     fold_bn_into_conv,
     fused_bottleneck,
+    fused_bottleneck_tiled,
 )
 
 Array = jax.Array
@@ -85,8 +86,15 @@ def _plain_clip_block(p: dict, x: Array, stride: int) -> Array:
     return nn.relu(h + x)
 
 
-def _fused_block(p: dict, x: Array, dtype, interpret: bool) -> Array:
+def _fused_block(p: dict, x: Array, dtype, interpret: bool,
+                 row_tile: int | None = None) -> Array:
     w1, b1, w2, b2, w3, b3 = bottleneck_weights(p)
+    if row_tile and x.shape[1] // row_tile >= 2 and x.shape[1] % row_tile == 0:
+        # Halo-tiled variant: tiny per-step buffers for compile-hostile
+        # whole-image shapes (stage 0 — srsem/ops/fused_bottleneck.py).
+        return fused_bottleneck_tiled(x, w1, b1, w2, b2, w3, b3,
+                                      row_tile=row_tile, compute_dtype=dtype,
+                                      interpret=interpret)
     return fused_bottleneck(x, w1, b1, w2, b2, w3, b3,
                             compute_dtype=dtype, interpret=interpret)
 
@@ -126,10 +134,17 @@ def _attnpool(p: dict, x: Array, dtype) -> Array:
 
 
 #: Stages whose interior blocks run the Pallas kernel by default.  Stage 0
-#: (56x56x256 at 224px input) is excluded: its fused block crashes the axon
-#: remote-compile helper (HTTP 500, tpu_compile_helper exit 1) while stages
-#: 1-3 compile and win, so the default fuses only the winners.
+#: (56x56x256 at 224px input) is excluded: its whole-image fused block
+#: crashes the axon remote-compile helper (HTTP 500, tpu_compile_helper
+#: exit 1) while stages 1-3 compile and win, so the default fuses only the
+#: winners.  Opting stage 0 in routes it through the halo-tiled kernel
+#: (``TILED_STAGE_ROWS``) whose per-step buffers stay tiny.
 DEFAULT_FUSE_STAGES = (1, 2, 3)
+
+#: Row-tile per stage for the halo-tiled kernel when that stage is fused.
+#: Only stage 0 defaults to tiling (whole-image is compile-hostile there);
+#: stages 1-3 stay on the whole-image kernel that already measured wins.
+TILED_STAGE_ROWS = {0: 8}
 
 
 def fused_imagenet_apply(
@@ -156,7 +171,8 @@ def fused_imagenet_apply(
             if b == 0:  # downsample block (stride 2 for s>0, 1x1 proj at s=0)
                 h = _plain_imagenet_block(p, h, stride=2 if s > 0 else 1)
             elif s in fuse_stages:
-                h = _fused_block(p, h, dtype, interpret)
+                h = _fused_block(p, h, dtype, interpret,
+                                 row_tile=TILED_STAGE_ROWS.get(s))
             else:
                 h = _plain_imagenet_block(p, h, stride=1)
             if b == 2:
@@ -187,7 +203,8 @@ def fused_clip_apply(
             if b == 0:  # avg-pool downsample (stride 2 for s>0) / projection
                 h = _plain_clip_block(p, h, stride=2 if s > 0 else 1)
             elif s in fuse_stages:
-                h = _fused_block(p, h, dtype, interpret)
+                h = _fused_block(p, h, dtype, interpret,
+                                 row_tile=TILED_STAGE_ROWS.get(s))
             else:
                 h = _plain_clip_block(p, h, stride=1)
             if b < 3:

@@ -290,6 +290,15 @@ class CluUnet(nn.Module):
 #: A/B clears it (scripts/ab_fused_decoder.py).
 DEFAULT_FUSE_LEVELS: Tuple[int, ...] = (0, 1, 2)
 
+#: Row-tile per level for the halo-tiled decoder kernel
+#: (srsem/ops/fused_decoder.py::fused_decoder_level_tiled).  The shallow
+#: levels' whole-image blocks are the compile-hostile ones (L0 112px /
+#: L1 56px at 224px serving — the same shape class as the tower's stage 0,
+#: which 500s the axon remote-compile helper); deeper levels keep the
+#: whole-image kernel.  Only applies to levels that are in fuse_levels
+#: AND have an upsampled branch (the tiled kernel is pair-form).
+DEFAULT_TILED_LEVEL_ROWS = {0: 8, 1: 8}
+
 
 def folded_decoder_weights(variables: Dict, lvl: int, cd: int):
     """BN-folded serving weights of decoder level ``lvl``.
@@ -347,7 +356,8 @@ def fused_serving_decode(model: "CluUnet", variables: Dict,
                          diffs: List[Array],
                          img_sq: Optional[Array] = None,
                          interpret: bool = False,
-                         fuse_levels: Optional[Tuple[int, ...]] = None
+                         fuse_levels: Optional[Tuple[int, ...]] = None,
+                         tiled_rows: Optional[Dict[int, int]] = None
                          ) -> Array:
     """Serving-only UNet decode with fused Pallas levels.
 
@@ -357,10 +367,13 @@ def fused_serving_decode(model: "CluUnet", variables: Dict,
     fused_decoder.py) and the rest on folded-weight XLA convs.  BatchNorm
     running statistics fold into the conv weights, so results match the
     train=False decoder up to FP reduction order."""
-    from srsem.ops.fused_decoder import fused_decoder_level
+    from srsem.ops.fused_decoder import (fused_decoder_level,
+                                         fused_decoder_level_tiled)
 
     if fuse_levels is None:
         fuse_levels = DEFAULT_FUSE_LEVELS
+    if tiled_rows is None:
+        tiled_rows = DEFAULT_TILED_LEVEL_ROWS
     dd = model.decoder_dtype
     if model.v2:
         if img_sq is None:
@@ -377,6 +390,14 @@ def fused_serving_decode(model: "CluUnet", variables: Dict,
         wts = folded_decoder_weights(variables, lvl, d.shape[-1])
         w1d, w1u, b1, w2, b2, fk = wts
         if lvl in fuse_levels:
+            th = tiled_rows.get(lvl)
+            hh = 1 if fk == 1 else 2
+            if (u is not None and th and th >= hh
+                    and d.shape[1] % th == 0 and d.shape[1] // th >= 2):
+                return fused_decoder_level_tiled(
+                    d.astype(dd), u.astype(dd), w1d, w1u, b1, w2, b2,
+                    row_tile=th, final_kernel=fk,
+                    compute_dtype=jnp.dtype(dd), interpret=interpret)
             return fused_decoder_level(
                 d.astype(dd), None if u is None else u.astype(dd),
                 w1d, w1u, b1, w2, b2, final_kernel=fk,

@@ -166,6 +166,129 @@ def fused_bottleneck(x: Array, w1: Array, b1: Array, w2: Array, b2: Array,
     return out
 
 
+def _tiled_bottleneck_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
+                             b3_ref, out_ref, xs, sem, *, th: int, h: int,
+                             w: int, compute_dtype: Any):
+    """One (image, row-tile) step of the halo-tiled bottleneck.
+
+    ``x_hbm`` is the full (N, H, W, C) input left in HBM/ANY; each step
+    DMAs its tile plus a 1-row halo into the ``xs`` VMEM scratch
+    ((th+2, W, C)), so tiles overlap — the thing blocked ``BlockSpec``
+    grids cannot express.  Halo rows beyond the image are zeroed, matching
+    the 3x3 conv's SAME zero padding."""
+    i = pl.program_id(0)
+    t = pl.program_id(1)
+    nt = h // th
+    c = x_hbm.shape[-1]
+    wd = w1_ref.shape[-1]
+
+    @pl.when(t == 0)
+    def _first():
+        xs[0:1] = jnp.zeros((1, w, c), xs.dtype)
+        dma = pltpu.make_async_copy(
+            x_hbm.at[i, pl.ds(0, th + 1)], xs.at[pl.ds(1, th + 1)], sem)
+        dma.start()
+        dma.wait()
+
+    @pl.when(jnp.logical_and(t > 0, t < nt - 1))
+    def _interior():
+        dma = pltpu.make_async_copy(
+            x_hbm.at[i, pl.ds(t * th - 1, th + 2)], xs.at[:], sem)
+        dma.start()
+        dma.wait()
+
+    @pl.when(t == nt - 1)
+    def _last():
+        xs[th + 1: th + 2] = jnp.zeros((1, w, c), xs.dtype)
+        dma = pltpu.make_async_copy(
+            x_hbm.at[i, pl.ds(t * th - 1, th + 1)], xs.at[pl.ds(0, th + 1)],
+            sem)
+        dma.start()
+        dma.wait()
+
+    x = xs[:].astype(compute_dtype)
+    # conv1 (1x1) over tile + halo rows.
+    h1 = jnp.dot(x.reshape((th + 2) * w, c), w1_ref[:],
+                 preferred_element_type=jnp.float32)
+    h1 = jnp.maximum(h1 + b1_ref[:], 0.0).astype(compute_dtype)
+    # conv2 (3x3): rows come from the halo, columns from zero padding.
+    # Halo rows outside the image must be ZERO in h1-space (conv2's SAME
+    # padding pads h1, not x) — conv1's bias+ReLU turned the zeroed x halo
+    # into relu(b1), so mask them out.
+    row = jax.lax.broadcasted_iota(jnp.int32, (th + 2, 1, 1), 0)
+    g_row = t * th - 1 + row
+    valid = jnp.logical_and(g_row >= 0, g_row < h)
+    h1p = jnp.where(valid, h1.reshape(th + 2, w, wd), 0.0)
+    h1p = jnp.pad(h1p, ((0, 0), (1, 1), (0, 0)))
+    acc = jnp.zeros((th * w, wd), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            win = h1p[dy:dy + th, dx:dx + w, :].reshape(th * w, wd)
+            acc = acc + jnp.dot(win, w2_ref[dy * 3 + dx],
+                                preferred_element_type=jnp.float32)
+    h2 = jnp.maximum(acc + b2_ref[:], 0.0).astype(compute_dtype)
+    # conv3 (1x1) + residual (tile interior rows of xs) + ReLU.
+    y = jnp.dot(h2, w3_ref[:], preferred_element_type=jnp.float32)
+    y = y + b3_ref[:] + xs[1: th + 1].reshape(th * w, c).astype(jnp.float32)
+    out_ref[:] = jnp.maximum(y, 0.0).astype(out_ref.dtype).reshape(
+        1, th, w, c)
+
+
+@functools.partial(jax.jit, static_argnames=("row_tile", "compute_dtype",
+                                              "interpret"))
+def fused_bottleneck_tiled(x: Array, w1: Array, b1: Array, w2: Array,
+                           b2: Array, w3: Array, b3: Array, row_tile: int,
+                           compute_dtype: Any = jnp.bfloat16,
+                           interpret: bool = False) -> Array:
+    """Halo-tiled ``fused_bottleneck``: grid over (image, H/row_tile) with a
+    manual 1-row-halo DMA per tile instead of one whole-image VMEM block.
+
+    For shapes whose full-image working set is compile-hostile (stage 0's
+    56x56x256 at 224px hung/500'd the Mosaic remote-compile path at
+    whole-image tiles — BENCH_NOTES.md), small row tiles keep every buffer
+    tiny at ~1.25x the x-read traffic (halo overlap).  Numerics identical
+    to ``fused_bottleneck`` (same matmul decomposition)."""
+    n, h, w, c = x.shape
+    wd = w1.shape[-1]
+    if h % row_tile or h // row_tile < 2:
+        raise ValueError(f"row_tile {row_tile} must divide H={h} with at "
+                         "least 2 tiles (1-tile inputs: use fused_bottleneck)")
+    cd = jnp.dtype(compute_dtype)
+    th = row_tile
+
+    kernel = functools.partial(_tiled_bottleneck_kernel, th=th, h=h, w=w,
+                               compute_dtype=cd)
+    grid = (n, h // th)
+    repl2 = lambda i, t: (0, 0)  # noqa: E731
+    repl3 = lambda i, t: (0, 0, 0)  # noqa: E731
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+            pl.BlockSpec((c, wd), repl2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wd,), lambda i, t: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, wd, wd), repl3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wd,), lambda i, t: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wd, c), repl2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i, t: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, th, w, c), lambda i, t: (i, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2, w, c), cd),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(x.astype(cd),
+      w1.astype(cd), b1.astype(jnp.float32),
+      w2.reshape(9, wd, wd).astype(cd), b2.astype(jnp.float32),
+      w3.astype(cd), b3.astype(jnp.float32))
+    return out
+
+
 def bottleneck_weights(block_params: dict, eps: float = 1e-5):
     """BN-folded (w1, b1, w2, b2, w3, b3) from a stride-1 bottleneck's param
     subtree (srsem/backbones/resnet.py::{ImageNet,Clip}Bottleneck: conv1/bn1,

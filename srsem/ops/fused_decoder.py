@@ -114,6 +114,158 @@ def _pick_batch_tile(n: int, per_img: int,
     return bb
 
 
+def _copy_with_halo(src_hbm, scratch, sem, i, t, nt, th: int, hh: int,
+                    w: int, c: int):
+    """DMA rows [t*th - hh, t*th + th + hh) of image ``i`` into ``scratch``
+    ((th + 2*hh, W, C)), zeroing halo rows that fall outside the image —
+    matching the 3x3 conv's SAME zero padding of the level inputs."""
+
+    @pl.when(t == 0)
+    def _first():
+        scratch[0:hh] = jnp.zeros((hh, w, c), scratch.dtype)
+        dma = pltpu.make_async_copy(
+            src_hbm.at[i, pl.ds(0, th + hh)], scratch.at[pl.ds(hh, th + hh)],
+            sem)
+        dma.start()
+        dma.wait()
+
+    @pl.when(jnp.logical_and(t > 0, t < nt - 1))
+    def _interior():
+        dma = pltpu.make_async_copy(
+            src_hbm.at[i, pl.ds(t * th - hh, th + 2 * hh)], scratch.at[:],
+            sem)
+        dma.start()
+        dma.wait()
+
+    @pl.when(t == nt - 1)
+    def _last():
+        scratch[th + hh: th + 2 * hh] = jnp.zeros((hh, w, c), scratch.dtype)
+        dma = pltpu.make_async_copy(
+            src_hbm.at[i, pl.ds(t * th - hh, th + hh)],
+            scratch.at[pl.ds(0, th + hh)], sem)
+        dma.start()
+        dma.wait()
+
+
+def _tiled_decoder_kernel(d_hbm, u_hbm, w1d_ref, w1u_ref, b1_ref, w2_ref,
+                          b2_ref, out_ref, ds_, us_, sem_d, sem_u, *,
+                          th: int, h: int, w: int, final_kernel: int,
+                          compute_dtype: Any):
+    """One (image, row-tile) step of a halo-tiled decoder level (pair form).
+
+    conv1 is 3x3, so the tile needs ``hh`` halo rows of (d, u): 1 when
+    conv2 is the 1x1 map head (level 0), 2 when conv2 is 3x3 (h1 itself
+    then carries a 1-row halo, masked to zero outside the image — conv2's
+    SAME padding pads h1, not the inputs)."""
+    i = pl.program_id(0)
+    t = pl.program_id(1)
+    nt = h // th
+    hh = 1 if final_kernel == 1 else 2
+    cd = d_hbm.shape[-1]
+    cu = u_hbm.shape[-1]
+    cm = w1d_ref.shape[-1]
+    co = w2_ref.shape[-1]
+
+    _copy_with_halo(d_hbm, ds_, sem_d, i, t, nt, th, hh, w, cd)
+    _copy_with_halo(u_hbm, us_, sem_u, i, t, nt, th, hh, w, cu)
+
+    # conv1 (3x3, SAME in W) over every row with full 3x3 support: rows
+    # [1, th + 2*hh - 1) of the scratch — the tile plus (hh-1) h1-halo rows.
+    nh1 = th + 2 * hh - 2
+    acc = jnp.zeros((nh1 * w, cm), jnp.float32)
+    dpad = jnp.pad(ds_[:].astype(compute_dtype), ((0, 0), (1, 1), (0, 0)))
+    upad = jnp.pad(us_[:].astype(compute_dtype), ((0, 0), (1, 1), (0, 0)))
+    for dy in range(3):
+        for dx in range(3):
+            win_d = dpad[dy:dy + nh1, dx:dx + w, :].reshape(nh1 * w, cd)
+            acc = acc + jnp.dot(win_d, w1d_ref[dy * 3 + dx],
+                                preferred_element_type=jnp.float32)
+            win_u = upad[dy:dy + nh1, dx:dx + w, :].reshape(nh1 * w, cu)
+            acc = acc + jnp.dot(win_u, w1u_ref[dy * 3 + dx],
+                                preferred_element_type=jnp.float32)
+    h1 = jnp.maximum(acc + b1_ref[:], 0.0).astype(compute_dtype)
+
+    if final_kernel == 3:
+        # h1 rows j map to global rows t*th + j - 1; zero those outside the
+        # image, then 3x3 over the tile's th interior rows.
+        row = jax.lax.broadcasted_iota(jnp.int32, (nh1, 1, 1), 0)
+        valid = jnp.logical_and(t * th + row - 1 >= 0, t * th + row - 1 < h)
+        h1p = jnp.where(valid, h1.reshape(nh1, w, cm), 0.0)
+        h1p = jnp.pad(h1p, ((0, 0), (1, 1), (0, 0)))
+        acc2 = jnp.zeros((th * w, co), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                win = h1p[dy:dy + th, dx:dx + w, :].reshape(th * w, cm)
+                acc2 = acc2 + jnp.dot(win, w2_ref[dy * 3 + dx],
+                                      preferred_element_type=jnp.float32)
+    else:  # 1x1 map head — h1 is exactly the tile (hh == 1)
+        acc2 = jnp.dot(h1, w2_ref[:], preferred_element_type=jnp.float32)
+    y = jnp.maximum(acc2 + b2_ref[:], 0.0)
+    out_ref[:] = y.astype(out_ref.dtype).reshape(1, th, w, co)
+
+
+@functools.partial(jax.jit, static_argnames=("row_tile", "final_kernel",
+                                              "compute_dtype", "interpret"))
+def fused_decoder_level_tiled(d: Array, u: Array, w1d: Array, w1u: Array,
+                              b1: Array, w2: Array, b2: Array, row_tile: int,
+                              final_kernel: int = 3,
+                              compute_dtype: Any = jnp.bfloat16,
+                              interpret: bool = False) -> Array:
+    """Halo-tiled ``fused_decoder_level`` (pair form only): grid over
+    (image, H/row_tile) with manual halo DMAs, for the big shallow levels
+    whose whole-image blocks are compile-hostile (L0 112px / L1 56px at
+    224px serving).  Numerics identical to the whole-image kernel."""
+    n, h, w, cd = d.shape
+    cu = u.shape[-1]
+    cm = w1d.shape[-1]
+    co = w2.shape[-1]
+    hh = 1 if final_kernel == 1 else 2
+    if h % row_tile or h // row_tile < 2 or row_tile < hh:
+        raise ValueError(f"row_tile {row_tile} must divide H={h} with >=2 "
+                         f"tiles and be >= the halo {hh}")
+    cdt = jnp.dtype(compute_dtype)
+    th = row_tile
+
+    kernel = functools.partial(_tiled_decoder_kernel, th=th, h=h, w=w,
+                               final_kernel=final_kernel, compute_dtype=cdt)
+    repl3 = lambda i, t: (0, 0, 0)  # noqa: E731
+    b_spec = lambda c: pl.BlockSpec((c,), lambda i, t: (0,),  # noqa: E731
+                                    memory_space=pltpu.VMEM)
+    if final_kernel == 3:
+        w2_spec = pl.BlockSpec((9, cm, co), repl3, memory_space=pltpu.VMEM)
+        w2_arg = w2.reshape(9, cm, co).astype(cdt)
+    else:
+        w2_spec = pl.BlockSpec((cm, co), lambda i, t: (0, 0),
+                               memory_space=pltpu.VMEM)
+        w2_arg = w2.reshape(cm, co).astype(cdt)
+    return pl.pallas_call(
+        kernel,
+        grid=(n, h // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # d stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # u stays in HBM
+            pl.BlockSpec((9, cd, cm), repl3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, cu, cm), repl3, memory_space=pltpu.VMEM),
+            b_spec(cm),
+            w2_spec,
+            b_spec(co),
+        ],
+        out_specs=pl.BlockSpec((1, th, w, co), lambda i, t: (i, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, co), d.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2 * hh, w, cd), cdt),
+            pltpu.VMEM((th + 2 * hh, w, cu), cdt),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(d.astype(cdt), u.astype(cdt),
+      w1d.reshape(9, cd, cm).astype(cdt), w1u.reshape(9, cu, cm).astype(cdt),
+      b1.astype(jnp.float32), w2_arg, b2.astype(jnp.float32))
+
+
 @functools.partial(jax.jit, static_argnames=("final_kernel", "compute_dtype",
                                               "interpret"))
 def fused_decoder_level(d: Array, u: Optional[Array], w1d: Array,

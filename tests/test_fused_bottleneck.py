@@ -307,3 +307,51 @@ def test_fused_tower_matches_flax(kind):
             rtol=1e-3, atol=1e-3, err_msg=f"tap {nm} ({kind})")
     np.testing.assert_allclose(np.asarray(got_emb), np.asarray(want_emb),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_fused_bottleneck_tiled_matches_whole_image():
+    """Halo-tiled bottleneck == whole-image kernel == XLA chain, including
+    the zero-halo edge tiles (h1 masking — conv2's SAME padding pads h1)."""
+    from srsem.ops.fused_bottleneck import fused_bottleneck_tiled
+
+    rng = np.random.default_rng(3)
+    n, h, w, c, wd = 2, 16, 16, 64, 16
+    x = jnp.asarray(rng.normal(size=(n, h, w, c)).astype(np.float32))
+    mk = lambda *s: jnp.asarray(  # noqa: E731
+        rng.normal(size=s).astype(np.float32) * 0.1)
+    w1, b1 = mk(c, wd), mk(wd)
+    w2, b2 = mk(3, 3, wd, wd), mk(wd)
+    w3, b3 = mk(wd, c), mk(c)
+
+    want = fused_bottleneck(x, w1, b1, w2, b2, w3, b3,
+                            compute_dtype=jnp.float32, interpret=True)
+    for th in (2, 4, 8):
+        got = fused_bottleneck_tiled(x, w1, b1, w2, b2, w3, b3, row_tile=th,
+                                     compute_dtype=jnp.float32,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_fused_tower_stage0_tiled_matches_flax():
+    """fuse_stages=(0,1,2,3): stage 0 routes through the halo-tiled kernel
+    (TILED_STAGE_ROWS) and the full tower still matches the Flax tower."""
+    from srsem.backbones.fused_resnet import fused_apply
+    from srsem.backbones.resnet import ImageNetResNet50
+
+    model = ImageNetResNet50(dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    want_emb, want_taps = model.apply(variables, x)
+    got_emb, got_taps = fused_apply("resnet50", variables["params"], x,
+                                    jnp.float32, interpret=True,
+                                    fuse_stages=(0, 1, 2, 3))
+    # f32 FP-order drift accumulates through all 16 blocks; activations
+    # reach O(100), so tolerances are relative-dominated.
+    np.testing.assert_allclose(np.asarray(got_emb), np.asarray(want_emb),
+                               rtol=1e-3, atol=1e-3)
+    for k in want_taps:
+        np.testing.assert_allclose(np.asarray(got_taps[k]),
+                                   np.asarray(want_taps[k]),
+                                   rtol=1e-3, atol=1e-3)

@@ -61,19 +61,27 @@ def test_fused_decode_matches_reference_decoder(v2):
 
     want = model.apply(variables, diffs, img_sq, False,
                        method=CluUnet.decode_from_diffs)
-    # every level fused (interpret mode has no VMEM ceiling)
+    # every level fused, whole-image kernels (interpret: no VMEM ceiling)
     got_all = fused_serving_decode(model, variables, diffs, img_sq,
                                    interpret=True,
-                                   fuse_levels=(0, 1, 2, 3, 4))
-    # the production default split (levels 0-2 fused, 3-4 on folded XLA)
+                                   fuse_levels=(0, 1, 2, 3, 4),
+                                   tiled_rows={})
+    # the production default split (levels 0-2 fused with L0/L1 on the
+    # halo-tiled kernel, 3-4 on folded XLA)
     got_dflt = fused_serving_decode(model, variables, diffs, img_sq,
                                     interpret=True,
                                     fuse_levels=DEFAULT_FUSE_LEVELS)
-    want, got_all, got_dflt = map(np.asarray, jax.device_get(
-        (want, got_all, got_dflt)))
+    # explicit halo-tiled rows on every pair level
+    got_tiled = fused_serving_decode(model, variables, diffs, img_sq,
+                                     interpret=True,
+                                     fuse_levels=DEFAULT_FUSE_LEVELS,
+                                     tiled_rows={0: 8, 1: 4, 2: 2})
+    want, got_all, got_dflt, got_tiled = map(np.asarray, jax.device_get(
+        (want, got_all, got_dflt, got_tiled)))
     assert want.shape == got_all.shape == (2, 64, 64)
     np.testing.assert_allclose(got_all, want, rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(got_dflt, want, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(got_tiled, want, rtol=2e-4, atol=2e-4)
 
 
 @pytest.mark.slow
