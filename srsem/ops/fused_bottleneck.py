@@ -166,47 +166,83 @@ def fused_bottleneck(x: Array, w1: Array, b1: Array, w2: Array, b2: Array,
     return out
 
 
+def _halo_copy(src_hbm, scratch, sem, i, t, nt, th: int, hh: int, w: int,
+               c: int, start: bool):
+    """Start (or wait on) the halo DMA of tile (image i, row-tile t) into
+    ``scratch`` ((th + 2*hh, W, C)): rows [t*th - hh, t*th + th + hh)
+    clamped to the image, out-of-image halo rows zeroed (the 3x3 conv's
+    SAME zero padding).  ``start=False`` reconstructs the same descriptor
+    and waits — the 2-slot pipeline's wait side (the descriptor depends
+    only on (i, t), so the waiting step can rebuild it)."""
+
+    def go(dma):
+        if start:
+            dma.start()
+        else:
+            dma.wait()
+
+    @pl.when(t == 0)
+    def _first():
+        if start:
+            scratch[0:hh] = jnp.zeros((hh, w, c), scratch.dtype)
+        go(pltpu.make_async_copy(
+            src_hbm.at[i, pl.ds(0, th + hh)],
+            scratch.at[pl.ds(hh, th + hh)], sem))
+
+    @pl.when(jnp.logical_and(t > 0, t < nt - 1))
+    def _interior():
+        go(pltpu.make_async_copy(
+            src_hbm.at[i, pl.ds(t * th - hh, th + 2 * hh)], scratch.at[:],
+            sem))
+
+    @pl.when(t == nt - 1)
+    def _last():
+        if start:
+            scratch[th + hh: th + 2 * hh] = jnp.zeros((hh, w, c),
+                                                      scratch.dtype)
+        go(pltpu.make_async_copy(
+            src_hbm.at[i, pl.ds(t * th - hh, th + hh)],
+            scratch.at[pl.ds(0, th + hh)], sem))
+
+
 def _tiled_bottleneck_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
-                             b3_ref, out_ref, xs, sem, *, th: int, h: int,
+                             b3_ref, out_ref, xs, sems, *, th: int, h: int,
                              w: int, compute_dtype: Any):
     """One (image, row-tile) step of the halo-tiled bottleneck.
 
-    ``x_hbm`` is the full (N, H, W, C) input left in HBM/ANY; each step
-    DMAs its tile plus a 1-row halo into the ``xs`` VMEM scratch
-    ((th+2, W, C)), so tiles overlap — the thing blocked ``BlockSpec``
-    grids cannot express.  Halo rows beyond the image are zeroed, matching
-    the 3x3 conv's SAME zero padding."""
+    ``x_hbm`` is the full (N, H, W, C) input left in HBM/ANY; tiles plus a
+    1-row halo stream into the 2-slot ``xs`` VMEM scratch — overlapping
+    reads a blocked ``BlockSpec`` grid cannot express.  The halo DMA is
+    pipelined: step s starts the copy for step s+1's tile, then waits on
+    its own (started by step s-1, or by itself at s == 0)."""
     i = pl.program_id(0)
     t = pl.program_id(1)
+    n = x_hbm.shape[0]
     nt = h // th
     c = x_hbm.shape[-1]
     wd = w1_ref.shape[-1]
 
-    @pl.when(t == 0)
-    def _first():
-        xs[0:1] = jnp.zeros((1, w, c), xs.dtype)
-        dma = pltpu.make_async_copy(
-            x_hbm.at[i, pl.ds(0, th + 1)], xs.at[pl.ds(1, th + 1)], sem)
-        dma.start()
-        dma.wait()
+    s = i * nt + t
+    slot = jax.lax.rem(s, 2)
 
-    @pl.when(jnp.logical_and(t > 0, t < nt - 1))
-    def _interior():
-        dma = pltpu.make_async_copy(
-            x_hbm.at[i, pl.ds(t * th - 1, th + 2)], xs.at[:], sem)
-        dma.start()
-        dma.wait()
+    @pl.when(s == 0)
+    def _own():
+        _halo_copy(x_hbm, xs.at[slot], sems.at[slot], i, t, nt, th, 1, w, c,
+                   start=True)
 
-    @pl.when(t == nt - 1)
-    def _last():
-        xs[th + 1: th + 2] = jnp.zeros((1, w, c), xs.dtype)
-        dma = pltpu.make_async_copy(
-            x_hbm.at[i, pl.ds(t * th - 1, th + 1)], xs.at[pl.ds(0, th + 1)],
-            sem)
-        dma.start()
-        dma.wait()
+    @pl.when(s + 1 < n * nt)
+    def _prefetch():
+        s2 = s + 1
+        i2 = jax.lax.div(s2, nt)
+        t2 = jax.lax.rem(s2, nt)
+        _halo_copy(x_hbm, xs.at[jax.lax.rem(s2, 2)],
+                   sems.at[jax.lax.rem(s2, 2)], i2, t2, nt, th, 1, w, c,
+                   start=True)
 
-    x = xs[:].astype(compute_dtype)
+    _halo_copy(x_hbm, xs.at[slot], sems.at[slot], i, t, nt, th, 1, w, c,
+               start=False)
+
+    x = xs[slot].astype(compute_dtype)
     # conv1 (1x1) over tile + halo rows.
     h1 = jnp.dot(x.reshape((th + 2) * w, c), w1_ref[:],
                  preferred_element_type=jnp.float32)
@@ -227,9 +263,10 @@ def _tiled_bottleneck_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
             acc = acc + jnp.dot(win, w2_ref[dy * 3 + dx],
                                 preferred_element_type=jnp.float32)
     h2 = jnp.maximum(acc + b2_ref[:], 0.0).astype(compute_dtype)
-    # conv3 (1x1) + residual (tile interior rows of xs) + ReLU.
+    # conv3 (1x1) + residual (tile interior rows of the slot) + ReLU.
     y = jnp.dot(h2, w3_ref[:], preferred_element_type=jnp.float32)
-    y = y + b3_ref[:] + xs[1: th + 1].reshape(th * w, c).astype(jnp.float32)
+    y = (y + b3_ref[:]
+         + xs[slot, 1: th + 1].reshape(th * w, c).astype(jnp.float32))
     out_ref[:] = jnp.maximum(y, 0.0).astype(out_ref.dtype).reshape(
         1, th, w, c)
 
@@ -277,8 +314,8 @@ def fused_bottleneck_tiled(x: Array, w1: Array, b1: Array, w2: Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((th + 2, w, c), cd),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, th + 2, w, c), cd),  # 2-slot pipelined halo
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,

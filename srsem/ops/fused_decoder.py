@@ -115,36 +115,42 @@ def _pick_batch_tile(n: int, per_img: int,
 
 
 def _copy_with_halo(src_hbm, scratch, sem, i, t, nt, th: int, hh: int,
-                    w: int, c: int):
-    """DMA rows [t*th - hh, t*th + th + hh) of image ``i`` into ``scratch``
-    ((th + 2*hh, W, C)), zeroing halo rows that fall outside the image —
-    matching the 3x3 conv's SAME zero padding of the level inputs."""
+                    w: int, c: int, start: bool):
+    """Start (or wait on) the halo DMA of tile (image i, row-tile t) into
+    ``scratch`` ((th + 2*hh, W, C)): rows [t*th - hh, t*th + th + hh)
+    clamped to the image, out-of-image halo rows zeroed (the 3x3 conv's
+    SAME zero padding of the level inputs).  ``start=False`` reconstructs
+    the same descriptor and waits — the 2-slot pipeline's wait side
+    (srsem/ops/fused_bottleneck.py::_halo_copy has the same shape)."""
+
+    def go(dma):
+        if start:
+            dma.start()
+        else:
+            dma.wait()
 
     @pl.when(t == 0)
     def _first():
-        scratch[0:hh] = jnp.zeros((hh, w, c), scratch.dtype)
-        dma = pltpu.make_async_copy(
-            src_hbm.at[i, pl.ds(0, th + hh)], scratch.at[pl.ds(hh, th + hh)],
-            sem)
-        dma.start()
-        dma.wait()
+        if start:
+            scratch[0:hh] = jnp.zeros((hh, w, c), scratch.dtype)
+        go(pltpu.make_async_copy(
+            src_hbm.at[i, pl.ds(0, th + hh)],
+            scratch.at[pl.ds(hh, th + hh)], sem))
 
     @pl.when(jnp.logical_and(t > 0, t < nt - 1))
     def _interior():
-        dma = pltpu.make_async_copy(
+        go(pltpu.make_async_copy(
             src_hbm.at[i, pl.ds(t * th - hh, th + 2 * hh)], scratch.at[:],
-            sem)
-        dma.start()
-        dma.wait()
+            sem))
 
     @pl.when(t == nt - 1)
     def _last():
-        scratch[th + hh: th + 2 * hh] = jnp.zeros((hh, w, c), scratch.dtype)
-        dma = pltpu.make_async_copy(
+        if start:
+            scratch[th + hh: th + 2 * hh] = jnp.zeros((hh, w, c),
+                                                      scratch.dtype)
+        go(pltpu.make_async_copy(
             src_hbm.at[i, pl.ds(t * th - hh, th + hh)],
-            scratch.at[pl.ds(0, th + hh)], sem)
-        dma.start()
-        dma.wait()
+            scratch.at[pl.ds(0, th + hh)], sem))
 
 
 def _tiled_decoder_kernel(d_hbm, u_hbm, w1d_ref, w1u_ref, b1_ref, w2_ref,
@@ -159,6 +165,7 @@ def _tiled_decoder_kernel(d_hbm, u_hbm, w1d_ref, w1u_ref, b1_ref, w2_ref,
     SAME padding pads h1, not the inputs)."""
     i = pl.program_id(0)
     t = pl.program_id(1)
+    n = d_hbm.shape[0]
     nt = h // th
     hh = 1 if final_kernel == 1 else 2
     cd = d_hbm.shape[-1]
@@ -166,15 +173,42 @@ def _tiled_decoder_kernel(d_hbm, u_hbm, w1d_ref, w1u_ref, b1_ref, w2_ref,
     cm = w1d_ref.shape[-1]
     co = w2_ref.shape[-1]
 
-    _copy_with_halo(d_hbm, ds_, sem_d, i, t, nt, th, hh, w, cd)
-    _copy_with_halo(u_hbm, us_, sem_u, i, t, nt, th, hh, w, cu)
+    # 2-slot pipelined halo DMAs: step s starts the copies for step s+1's
+    # tile, then waits on its own (started by step s-1, or itself at s==0).
+    s = i * nt + t
+    slot = jax.lax.rem(s, 2)
+
+    @pl.when(s == 0)
+    def _own():
+        _copy_with_halo(d_hbm, ds_.at[slot], sem_d.at[slot], i, t, nt, th,
+                        hh, w, cd, start=True)
+        _copy_with_halo(u_hbm, us_.at[slot], sem_u.at[slot], i, t, nt, th,
+                        hh, w, cu, start=True)
+
+    @pl.when(s + 1 < n * nt)
+    def _prefetch():
+        s2 = s + 1
+        i2 = jax.lax.div(s2, nt)
+        t2 = jax.lax.rem(s2, nt)
+        slot2 = jax.lax.rem(s2, 2)
+        _copy_with_halo(d_hbm, ds_.at[slot2], sem_d.at[slot2], i2, t2, nt,
+                        th, hh, w, cd, start=True)
+        _copy_with_halo(u_hbm, us_.at[slot2], sem_u.at[slot2], i2, t2, nt,
+                        th, hh, w, cu, start=True)
+
+    _copy_with_halo(d_hbm, ds_.at[slot], sem_d.at[slot], i, t, nt, th, hh,
+                    w, cd, start=False)
+    _copy_with_halo(u_hbm, us_.at[slot], sem_u.at[slot], i, t, nt, th, hh,
+                    w, cu, start=False)
 
     # conv1 (3x3, SAME in W) over every row with full 3x3 support: rows
     # [1, th + 2*hh - 1) of the scratch — the tile plus (hh-1) h1-halo rows.
     nh1 = th + 2 * hh - 2
     acc = jnp.zeros((nh1 * w, cm), jnp.float32)
-    dpad = jnp.pad(ds_[:].astype(compute_dtype), ((0, 0), (1, 1), (0, 0)))
-    upad = jnp.pad(us_[:].astype(compute_dtype), ((0, 0), (1, 1), (0, 0)))
+    dpad = jnp.pad(ds_[slot].astype(compute_dtype),
+                   ((0, 0), (1, 1), (0, 0)))
+    upad = jnp.pad(us_[slot].astype(compute_dtype),
+                   ((0, 0), (1, 1), (0, 0)))
     for dy in range(3):
         for dx in range(3):
             win_d = dpad[dy:dy + nh1, dx:dx + w, :].reshape(nh1 * w, cd)
@@ -254,10 +288,10 @@ def fused_decoder_level_tiled(d: Array, u: Array, w1d: Array, w1u: Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, w, co), d.dtype),
         scratch_shapes=[
-            pltpu.VMEM((th + 2 * hh, w, cd), cdt),
-            pltpu.VMEM((th + 2 * hh, w, cu), cdt),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, th + 2 * hh, w, cd), cdt),  # 2-slot pipeline
+            pltpu.VMEM((2, th + 2 * hh, w, cu), cdt),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
