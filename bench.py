@@ -6,10 +6,13 @@ README's winning variant) scoring 224px uint8 pairs in bfloat16.
 vs_baseline is against the BASELINE.json north star of 20k pairs/min on a
 v5e-8 slice = 41.67 pairs/sec/chip.
 
-Secondary measurements (stderr, JSON lines): the Pallas fused-head scoring
-path and the CLU map model, so one TPU session yields the full picture —
-on the axon tunnel each process pays a chip-claim wait, so everything is
-measured in one process.
+Secondary measurements (stderr, JSON lines): grouped scoring, the CLU map
+model, dual scoring, training steps, cached sweeps, and the end-to-end
+file path — one TPU session yields the full picture (on the axon tunnel
+each process pays a chip-claim wait, so everything is measured in one
+process).  The Pallas serving experiments (fused head / fused tower /
+fused decoder) are excluded: all were A/B'd on-chip and lose to XLA's own
+fusion (BENCH_NOTES.md; scripts/ab_fused_*.py).
 
 NOTE: sync via jax.device_get — on the axon platform block_until_ready
 returns before execution finishes (measured ~100x inflation).
@@ -148,84 +151,13 @@ def main() -> None:
         print(json.dumps({"bench": "global_grouped_gt5", "error": str(e)[:300]}),
               file=sys.stderr, flush=True)
 
-    # --- grouped + fused Pallas tower: VMEM-resident bottleneck interiors
-    # (srsem/backbones/fused_resnet.py) under the same grouped head ------
-    try:
-        from srsem.eval.grouped import GroupedPairScorer
-
-        K, G = 5, 24
-        groupedf = GroupedPairScorer(gcfg, jax.device_get(gvars), k=K,
-                                     mesh=mesh, batch_size=G,
-                                     fused_tower=True)
-        gt_gf = jax.device_put(
-            host.integers(0, 256, (G, size, size, 3), dtype=np.uint8), data)
-        sr_gf = jax.device_put(
-            host.integers(0, 256, (G, K, size, size, 3), dtype=np.uint8),
-            data)
-        tf = None
-        for _attempt in range(3):  # axon remote-compile helper 500s flakily
-            try:
-                tf = _throughput(
-                    lambda a, b: groupedf._score(groupedf._variables, a, b),
-                    (gt_gf, sr_gf), G * K, 20)
-                break
-            except Exception as e:
-                print(json.dumps({"bench": "global_grouped_gt5_fusedtower",
-                                  "attempt": _attempt,
-                                  "error": str(e)[:200]}),
-                      file=sys.stderr, flush=True)
-                time.sleep(5)
-        if tf is not None:
-            note("global_grouped_gt5_fusedtower", tf)
-            if tf > headline:
-                headline = tf
-    except Exception as e:
-        print(json.dumps({"bench": "global_grouped_gt5_fusedtower",
-                          "error": str(e)[:300]}),
-              file=sys.stderr, flush=True)
-
-    # --- secondary: Pallas fused-head path -------------------------------
-    try:
-        from srsem.backbones.resnet import make_backbone
-        from srsem.models.global_models import stage_taps_for
-        from srsem.ops.fused_head import fused_global_score
-
-        backbone = make_backbone(gcfg.backbone)
-        names = stage_taps_for("resnet50", 3)
-
-        @jax.jit
-        def score_fused(v, a, b):
-            an = gpre.device_normalize(a)
-            bn = gpre.device_normalize(b)
-            n = an.shape[0]
-            _, taps = backbone.apply(
-                {"params": v["params"]["backbone"]},
-                jnp.concatenate([an, bn], axis=0))
-            return fused_global_score(
-                {k: taps[k][:n] for k in names},
-                {k: taps[k][n:] for k in names},
-                v["params"]["aggregator"], names)
-
-        fused = _throughput(score_fused, (gvars, a_u8, b_u8), batch, 30)
-        note("global_fused_pallas", fused)
-        if fused > headline:
-            headline = fused
-
-        # 512px shape — where stage-0 features are 16x larger and the
-        # fused kernel's HBM-traffic argument actually bites (VERDICT r1
-        # next-step #7: find a winning shape or retire the flag).
-        hp, hb = 512, 16
-        a5f = jax.device_put(
-            host.integers(0, 256, (hb, hp, hp, 3), dtype=np.uint8), data)
-        b5f = jax.device_put(
-            host.integers(0, 256, (hb, hp, hp, 3), dtype=np.uint8), data)
-        fused512 = _throughput(score_fused, (gvars, a5f, b5f), hb, 15)
-        dense512 = _throughput(score_global, (gvars, a5f, b5f), hb, 15)
-        note("global_fused_pallas_512px", fused512)
-        note("global_dense_512px_b16", dense512)
-    except Exception as e:  # keep the headline alive no matter what
-        print(json.dumps({"bench": "global_fused_pallas", "error": str(e)[:300]}),
-              file=sys.stderr, flush=True)
+    # NOTE on the Pallas serving experiments: the fused head (r1), fused
+    # ResNet bottleneck tower (r3), and fused CLU decoder levels (r3) were
+    # all A/B'd on-chip and LOSE to (or tie) XLA's own fusion of the same
+    # chains — measured tables in BENCH_NOTES.md, harnesses in
+    # scripts/ab_fused_bottleneck.py / ab_fused_decoder.py.  They stay in
+    # the tree as verified opt-in experiments and are excluded from bench
+    # so the driver run measures the production configuration.
 
     # --- secondary: CLU map model ----------------------------------------
     try:
@@ -276,42 +208,6 @@ def main() -> None:
             print(json.dumps({"bench": "clu_maps_512px",
                               "error": str(e)[:200]}),
                   file=sys.stderr, flush=True)
-
-        # Fused Pallas decoder levels (serving BN folded into conv weights,
-        # one VMEM-resident kernel per UNet level — srsem/ops/
-        # fused_decoder.py) over the dense tower, bf16 decoder mode.
-        from srsem.backbones.resnet import (CLIP_STAGE_TAPS, CLIP_STEM_TAP,
-                                            make_backbone as mk_fd)
-        from srsem.models.local_models import fused_serving_decode
-
-        fd_bb = mk_fd(lcfg.backbone)
-        fd_names = (CLIP_STEM_TAP,) + CLIP_STAGE_TAPS
-
-        @jax.jit
-        def score_maps_fd(v, a, b):
-            an = lpre.device_normalize(a)
-            bn_ = lpre.device_normalize(b)
-            n = an.shape[0]
-            _, taps = fd_bb.apply({"params": v["params"]["backbone"]},
-                                  jnp.concatenate([an, bn_], axis=0))
-            diffs = [((taps[nm][:n].astype(jnp.float32)
-                       - taps[nm][n:].astype(jnp.float32)) ** 2
-                      ).astype(jnp.bfloat16) for nm in fd_names]
-            return fused_serving_decode(lmodel16, v, diffs)
-
-        tfd = None
-        for _attempt in range(3):  # axon remote-compile helper 500s flakily
-            try:
-                tfd = _throughput(score_maps_fd, (lvars, la, lb), lbatch, 40)
-                break
-            except Exception as e:
-                print(json.dumps({"bench": "clu_maps_fused_decoder",
-                                  "attempt": _attempt,
-                                  "error": str(e)[:200]}),
-                      file=sys.stderr, flush=True)
-                time.sleep(5)
-        if tfd is not None:
-            note("clu_maps_fused_decoder", tfd)
 
         # Grouped GT-vs-K-SR map scoring: one shared GT tower pass per
         # group feeds all K decoder runs (srsem/eval/grouped.py::

@@ -133,17 +133,19 @@ def _attnpool(p: dict, x: Array, dtype) -> Array:
     return dense("out_proj", out)[:, 0]
 
 
-#: Stages whose interior blocks run the Pallas kernel by default.  Stage 0
-#: (56x56x256 at 224px input) is excluded: its whole-image fused block
-#: crashes the axon remote-compile helper (HTTP 500, tpu_compile_helper
-#: exit 1) while stages 1-3 compile and win, so the default fuses only the
-#: winners.  Opting stage 0 in routes it through the halo-tiled kernel
-#: (``TILED_STAGE_ROWS``) whose per-step buffers stay tiny.
+#: Stages whose interior blocks run the Pallas kernel by default when the
+#: EXPERIMENTAL ``fused_tower`` flag is set.  Stage 0 (56x56x256 at 224px
+#: input) is excluded: its whole-image fused block crashes the axon
+#: remote-compile helper (HTTP 500, tpu_compile_helper exit 1); opting it
+#: in routes it through the halo-tiled kernel (``TILED_STAGE_ROWS``).
+#: On-chip A/B verdict (scripts/ab_fused_bottleneck.py, BENCH_NOTES.md
+#: r3): the fused tower is 0.69-1.00x the XLA tower at every serving
+#: config, so serving defaults stay on XLA and this path is opt-in only.
 DEFAULT_FUSE_STAGES = (1, 2, 3)
 
 #: Row-tile per stage for the halo-tiled kernel when that stage is fused.
 #: Only stage 0 defaults to tiling (whole-image is compile-hostile there);
-#: stages 1-3 stay on the whole-image kernel that already measured wins.
+#: stages 1-3 stay on the whole-image kernel.
 TILED_STAGE_ROWS = {0: 8}
 
 

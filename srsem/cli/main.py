@@ -634,8 +634,9 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint")
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--fused-tower", action="store_true",
-                   help="serve the frozen ResNet tower through the "
-                        "VMEM-resident Pallas bottleneck kernel")
+                   help="EXPERIMENT: frozen ResNet tower via the Pallas "
+                        "bottleneck kernel — measured SLOWER than the "
+                        "XLA tower on-chip (BENCH_NOTES.md r3)")
     p.add_argument("--out", default="scores.csv")
     p.add_argument("--set", action="append", default=[])
     p.set_defaults(fn=cmd_score)
@@ -763,9 +764,11 @@ def main(argv=None) -> int:
                         "tap-diffs of near-identical pairs amplify bf16 "
                         "rounding)")
     p.add_argument("--fused-tower", action="store_true",
-                   help="serve the frozen ResNet tower through the "
+                   help="EXPERIMENT: frozen ResNet tower via the "
                         "VMEM-resident Pallas bottleneck kernel "
-                        "(srsem/backbones/fused_resnet.py)")
+                        "(srsem/backbones/fused_resnet.py) — measured "
+                        "SLOWER than the XLA tower on-chip "
+                        "(BENCH_NOTES.md r3)")
     p.add_argument("--backbone-checkpoint", default=None,
                    help="converted pretrained tower (srsem convert) to "
                         "load into params['backbone']")
@@ -791,13 +794,17 @@ def main(argv=None) -> int:
                    help="tower compute dtype — bfloat16 serves fastest; "
                         "float32 for bit-level reproducibility")
     p.add_argument("--fused-tower", action="store_true",
-                   help="serve the frozen ResNet tower through the "
+                   help="EXPERIMENT: frozen ResNet tower via the "
                         "VMEM-resident Pallas bottleneck kernel "
-                        "(srsem/backbones/fused_resnet.py)")
+                        "(srsem/backbones/fused_resnet.py) — measured "
+                        "SLOWER than the XLA tower on-chip "
+                        "(BENCH_NOTES.md r3)")
     p.add_argument("--fused-decoder", action="store_true",
-                   help="serve the UNet decoder through the fused Pallas "
+                   help="EXPERIMENT: UNet decoder via the fused Pallas "
                         "level kernels, serving BN folded into conv "
-                        "weights (srsem/ops/fused_decoder.py)")
+                        "weights (srsem/ops/fused_decoder.py) — measured "
+                        "no faster than the XLA decoder on-chip "
+                        "(BENCH_NOTES.md r3)")
     p.add_argument("--backbone-checkpoint", default=None,
                    help="converted pretrained tower (srsem convert) to "
                         "load into params['backbone']")
@@ -825,11 +832,14 @@ def main(argv=None) -> int:
     p.add_argument("--backbone", default="resnet50_clip")
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--fused-tower", action="store_true",
-                   help="serve the frozen ResNet tower through the "
-                        "VMEM-resident Pallas bottleneck kernel")
+                   help="EXPERIMENT: frozen ResNet tower via the Pallas "
+                        "bottleneck kernel — measured SLOWER than the "
+                        "XLA tower on-chip (BENCH_NOTES.md r3)")
     p.add_argument("--fused-decoder", action="store_true",
-                   help="serve the UNet decoder through the fused Pallas "
-                        "level kernels (srsem/ops/fused_decoder.py)")
+                   help="EXPERIMENT: UNet decoder via the fused Pallas "
+                        "level kernels (srsem/ops/fused_decoder.py) — "
+                        "measured no faster than XLA on-chip "
+                        "(BENCH_NOTES.md r3)")
     p.add_argument("--out-template", default="scores_{folder}.csv")
     p.set_defaults(fn=cmd_sweep_dataset)
 

@@ -286,18 +286,22 @@ class CluUnet(nn.Module):
 #: kernels are ~75 MB each in bf16 — more than v5e VMEM — and the level is
 #: compute-bound 3072-wide matmul work XLA already runs well.  Level 3
 #: (14x14, (1024+2048)→1024) fits (~83 MB weights+activations) but sits
-#: close to the 100 MB compiler limit, so it is opt-in until the on-chip
-#: A/B clears it (scripts/ab_fused_decoder.py).
+#: close to the 100 MB compiler limit, so it is opt-in.
+#: On-chip A/B verdict (scripts/ab_fused_decoder.py, BENCH_NOTES.md r3):
+#: no fused-level choice beats the XLA decoder (0.86–1.02x) — XLA already
+#: fuses the folded-BN conv chain well — so the fused decoder stays an
+#: opt-in EXPERIMENT, not a serving default.
 DEFAULT_FUSE_LEVELS: Tuple[int, ...] = (0, 1, 2)
 
 #: Row-tile per level for the halo-tiled decoder kernel
-#: (srsem/ops/fused_decoder.py::fused_decoder_level_tiled).  The shallow
-#: levels' whole-image blocks are the compile-hostile ones (L0 112px /
-#: L1 56px at 224px serving — the same shape class as the tower's stage 0,
-#: which 500s the axon remote-compile helper); deeper levels keep the
-#: whole-image kernel.  Only applies to levels that are in fuse_levels
-#: AND have an upsampled branch (the tiled kernel is pair-form).
-DEFAULT_TILED_LEVEL_ROWS = {0: 8, 1: 8}
+#: (srsem/ops/fused_decoder.py::fused_decoder_level_tiled).  Only applies
+#: to levels that are in fuse_levels AND have an upsampled branch (the
+#: tiled kernel is pair-form).  EMPTY by default: the halo-tiled variants
+#: hard-fail Mosaic on the real chip (axon remote-compile helper exits 1
+#: at the L0 112px / L1 56x56-row-tile shapes — measured r3, every tiled
+#: config crashed while every whole-image kernel compiled), so tiling is
+#: reachable only by explicit request (tests run it in interpret mode).
+DEFAULT_TILED_LEVEL_ROWS: Dict[int, int] = {}
 
 
 def folded_decoder_weights(variables: Dict, lvl: int, cd: int):

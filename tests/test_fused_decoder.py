@@ -66,8 +66,9 @@ def test_fused_decode_matches_reference_decoder(v2):
                                    interpret=True,
                                    fuse_levels=(0, 1, 2, 3, 4),
                                    tiled_rows={})
-    # the production default split (levels 0-2 fused with L0/L1 on the
-    # halo-tiled kernel, 3-4 on folded XLA)
+    # the default split (levels 0-2 fused whole-image, 3-4 on folded XLA;
+    # tiled_rows defaults empty — halo tiling is explicit-only since the
+    # on-chip r3 A/B, see DEFAULT_TILED_LEVEL_ROWS)
     got_dflt = fused_serving_decode(model, variables, diffs, img_sq,
                                     interpret=True,
                                     fuse_levels=DEFAULT_FUSE_LEVELS)
