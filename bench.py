@@ -696,6 +696,45 @@ def main() -> None:
         print(json.dumps({"bench": "e2e_file_to_score", "error": str(e)[:300]}),
               file=sys.stderr, flush=True)
 
+    # --- secondary: fast-JPEG host decode (DCT-scaled, PIL draft
+    # semantics — srsem/native/decoder.cpp).  Decode-only rate on 1024px
+    # JPEGs, the realistic large-SR-output shape where the e2e path is
+    # host-decode-bound (BENCH_NOTES.md).
+    try:
+        import os
+        import tempfile
+
+        from PIL import Image
+
+        from srsem import native
+
+        if not native.available():
+            raise RuntimeError(f"native decoder: {native.build_error()}")
+        yy, xx = np.mgrid[0:1024, 0:1280]
+        arr = np.stack([(128 + 100 * np.sin(xx / 97.0) * np.cos(yy / 71.0)),
+                        (128 + 100 * np.cos(xx / 53.0)),
+                        (128 + 100 * np.sin((xx + yy) / 129.0))],
+                       -1).clip(0, 255).astype(np.uint8)
+        tmpd = tempfile.mkdtemp(prefix="srsem_jpg_")
+        jp = os.path.join(tmpd, "big.jpg")
+        Image.fromarray(arr).save(jp, quality=92)
+        rates = {}
+        for fast in (False, True):
+            native.decode(jp, 224, 1.0, fast_jpeg=fast)
+            t0 = time.perf_counter()
+            for _ in range(40):
+                native.decode(jp, 224, 1.0, fast_jpeg=fast)
+            rates["fast" if fast else "full"] = 40 / (time.perf_counter() - t0)
+        print(json.dumps({
+            "bench": "host_decode_1024px_jpeg",
+            "full_images_per_sec": round(rates["full"], 1),
+            "fast_jpeg_images_per_sec": round(rates["fast"], 1),
+            "speedup": round(rates["fast"] / rates["full"], 2)}),
+            file=sys.stderr, flush=True)
+    except Exception as e:
+        print(json.dumps({"bench": "host_decode_1024px_jpeg",
+                          "error": str(e)[:300]}), file=sys.stderr, flush=True)
+
     pairs_per_sec_per_chip = headline / n_chips
     print(json.dumps({
         "metric": "global_cliplpips_pairs_per_sec_per_chip",

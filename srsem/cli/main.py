@@ -149,7 +149,8 @@ def cmd_score(args) -> int:
     df = pd.read_csv(args.pairs_csv)
     pairs = list(zip(df[args.col_a], df[args.col_b]))
     scorer = PairScorer(cfg, variables, batch_size=args.batch_size,
-                        fused_tower=args.fused_tower)
+                        fused_tower=args.fused_tower,
+                        fast_jpeg=args.fast_jpeg)
     scores = scorer.score_paths(pairs)
     df["score"] = scores
     df.to_csv(args.out, index=False)
@@ -473,7 +474,8 @@ def cmd_sweep_dataset(args) -> int:
     lvars = make_local_model(lcfg).init(jax.random.PRNGKey(1), z, z, train=False)
     scorer = DualScorer(gcfg, lcfg, gvars, lvars, batch_size=args.batch_size,
                         fused_tower=args.fused_tower,
-                        fused_decoder=args.fused_decoder)
+                        fused_decoder=args.fused_decoder,
+                        fast_jpeg=args.fast_jpeg)
     summary = {}
     for sr_folder in args.sr_folders:
         df = scorer.score_folders(args.gt_folder, sr_folder)
@@ -513,7 +515,8 @@ def cmd_score_groups(args) -> int:
             restored["trainable"], variables["params"])}
     scorer = GroupedPairScorer(cfg, variables, k=len(args.sr_folders),
                                batch_size=args.batch_size,
-                               fused_tower=args.fused_tower)
+                               fused_tower=args.fused_tower,
+                               fast_jpeg=args.fast_jpeg)
     df = scorer.score_folder_set(args.gt_folder, args.sr_folders)
     df.to_csv(args.out, index=False)
     print(json.dumps({"groups": len(df), "sr_models": len(args.sr_folders),
@@ -554,7 +557,8 @@ def cmd_score_maps_groups(args) -> int:
     scorer = GroupedMapScorer(cfg, variables, k=len(args.sr_folders),
                               batch_size=args.batch_size,
                               fused_tower=args.fused_tower,
-                              fused_decoder=args.fused_decoder)
+                              fused_decoder=args.fused_decoder,
+                              fast_jpeg=args.fast_jpeg)
     df = scorer.score_folder_set(args.gt_folder, args.sr_folders,
                                  maps_dir=args.maps_dir)
     df.to_csv(args.out, index=False)
@@ -637,6 +641,12 @@ def main(argv=None) -> int:
                    help="EXPERIMENT: frozen ResNet tower via the Pallas "
                         "bottleneck kernel — measured SLOWER than the "
                         "XLA tower on-chip (BENCH_NOTES.md r3)")
+    p.add_argument("--fast-jpeg", action="store_true",
+                   help="DCT-scaled JPEG decode (PIL draft semantics): "
+                        "decode at the largest M/8 downscale that still "
+                        "covers the resize target — big host-decode "
+                        "speedup on large SR images, ~LSB-scale pixel "
+                        "differences vs the full decode")
     p.add_argument("--out", default="scores.csv")
     p.add_argument("--set", action="append", default=[])
     p.set_defaults(fn=cmd_score)
@@ -772,6 +782,12 @@ def main(argv=None) -> int:
     p.add_argument("--backbone-checkpoint", default=None,
                    help="converted pretrained tower (srsem convert) to "
                         "load into params['backbone']")
+    p.add_argument("--fast-jpeg", action="store_true",
+                   help="DCT-scaled JPEG decode (PIL draft semantics): "
+                        "decode at the largest M/8 downscale that still "
+                        "covers the resize target — big host-decode "
+                        "speedup on large SR images, ~LSB-scale pixel "
+                        "differences vs the full decode")
     p.add_argument("--out", default="group_scores.csv")
     p.set_defaults(fn=cmd_score_groups)
 
@@ -808,6 +824,12 @@ def main(argv=None) -> int:
     p.add_argument("--backbone-checkpoint", default=None,
                    help="converted pretrained tower (srsem convert) to "
                         "load into params['backbone']")
+    p.add_argument("--fast-jpeg", action="store_true",
+                   help="DCT-scaled JPEG decode (PIL draft semantics): "
+                        "decode at the largest M/8 downscale that still "
+                        "covers the resize target — big host-decode "
+                        "speedup on large SR images, ~LSB-scale pixel "
+                        "differences vs the full decode")
     p.add_argument("--out", default="group_map_scores.csv")
     p.set_defaults(fn=cmd_score_maps_groups)
 
@@ -840,6 +862,12 @@ def main(argv=None) -> int:
                         "level kernels (srsem/ops/fused_decoder.py) — "
                         "measured no faster than XLA on-chip "
                         "(BENCH_NOTES.md r3)")
+    p.add_argument("--fast-jpeg", action="store_true",
+                   help="DCT-scaled JPEG decode (PIL draft semantics): "
+                        "decode at the largest M/8 downscale that still "
+                        "covers the resize target — big host-decode "
+                        "speedup on large SR images, ~LSB-scale pixel "
+                        "differences vs the full decode")
     p.add_argument("--out-template", default="scores_{folder}.csv")
     p.set_defaults(fn=cmd_sweep_dataset)
 

@@ -36,18 +36,27 @@ class Preprocess:
     mean: Sequence[float] = CLIP_MEAN
     std: Sequence[float] = CLIP_STD
     interpolation: int = Image.BICUBIC
+    # DCT-scaled JPEG decode (PIL Image.draft semantics): the JPEG is decoded
+    # at the largest M/8 downscale whose shortest edge still covers the
+    # resize target, so the bicubic stage only ever downsamples.  ~LSB-scale
+    # resampling differences vs the full decode; default OFF for bit parity
+    # with the reference's full PIL decode.
+    fast_jpeg: bool = False
 
     @staticmethod
-    def for_backbone(kind: str, size: int = 224) -> "Preprocess":
+    def for_backbone(kind: str, size: int = 224,
+                     fast_jpeg: bool = False) -> "Preprocess":
         if kind in ("resnet50_clip", "vit_clip"):
-            return Preprocess(size=size, crop_pct=1.0, mean=CLIP_MEAN, std=CLIP_STD)
+            return Preprocess(size=size, crop_pct=1.0, mean=CLIP_MEAN,
+                              std=CLIP_STD, fast_jpeg=fast_jpeg)
         if kind == "resnet50":
             # Classic ImageNet eval crop_pct.  Note: timm's current default
             # resnet50 weights (a1_in1k) resolve crop_pct 0.95 — when
             # loading those exact weights, construct
             # Preprocess(crop_pct=0.95, ...) to match their eval protocol.
             return Preprocess(size=size, crop_pct=0.875,
-                              mean=IMAGENET_MEAN, std=IMAGENET_STD)
+                              mean=IMAGENET_MEAN, std=IMAGENET_STD,
+                              fast_jpeg=fast_jpeg)
         raise ValueError(f"unknown backbone kind {kind!r}")
 
     def decode_uint8_native(self, path: str) -> Optional[np.ndarray]:
@@ -58,13 +67,15 @@ class Preprocess:
 
         if not native.available():
             return None
-        return native.decode(path, self.size, self.crop_pct)
+        return native.decode(path, self.size, self.crop_pct,
+                             fast_jpeg=self.fast_jpeg)
 
     def decode_batch_native(self, paths, n_threads: int = 16):
         """Batch C++ decode → (N, size, size, 3) uint8 + ok mask."""
         from srsem import native
 
-        return native.decode_batch(paths, self.size, self.crop_pct, n_threads)
+        return native.decode_batch(paths, self.size, self.crop_pct,
+                                   n_threads, fast_jpeg=self.fast_jpeg)
 
     def decode_uint8(self, path_or_img) -> np.ndarray:
         """Host path: decode → shortest-edge bicubic resize → center crop.
@@ -72,6 +83,11 @@ class Preprocess:
         img = path_or_img
         if not isinstance(img, Image.Image):
             img = Image.open(img)
+        if self.fast_jpeg and getattr(img, "format", None) == "JPEG":
+            # Pillow's native draft mode: configures the JPEG loader for a
+            # DCT-space downscale that keeps both dims >= the resize target.
+            t = int(round(self.size / self.crop_pct))
+            img.draft("RGB", (t, t))
         img = img.convert("RGB")
         scale_size = int(round(self.size / self.crop_pct))
         w, h = img.size

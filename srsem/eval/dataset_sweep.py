@@ -43,7 +43,8 @@ class DualScorer:
                  num_workers: int = 16, decode_backend: str = "pil",
                  fused_tower: bool = False,
                  fused_decoder: bool = False,
-                 fused_interpret: bool | None = None):
+                 fused_interpret: bool | None = None,
+                 fast_jpeg: bool = False):
         if global_cfg.backbone.kind != local_cfg.backbone.kind:
             raise ValueError("global/local backbones must match to share taps")
         if fused_tower and global_cfg.backbone.kind not in (
@@ -62,7 +63,8 @@ class DualScorer:
         self.num_workers = num_workers
         self.decode_backend = decode_backend
         self.preprocess = Preprocess.for_backbone(
-            global_cfg.backbone.kind, global_cfg.backbone.image_size)
+            global_cfg.backbone.kind, global_cfg.backbone.image_size,
+            fast_jpeg=fast_jpeg)
 
         lmodel = CluUnet(
             backbone_kind=local_cfg.backbone.kind, v2=local_cfg.v2,

@@ -54,7 +54,8 @@ class GroupedPairScorer:
     def __init__(self, cfg: GlobalModelConfig, variables, k: int,
                  mesh=None, batch_size: int = 32, num_workers: int = 16,
                  fused_tower: bool = False,
-                 fused_interpret: bool | None = None):
+                 fused_interpret: bool | None = None,
+                 fast_jpeg: bool = False):
         if cfg.head not in GROUPED_HEADS:
             raise ValueError(
                 f"grouped scoring supports the linear-to-scalar heads "
@@ -84,7 +85,7 @@ class GroupedPairScorer:
                               n_data)
         self.num_workers = num_workers
         self.preprocess = Preprocess.for_backbone(
-            cfg.backbone.kind, cfg.backbone.image_size)
+            cfg.backbone.kind, cfg.backbone.image_size, fast_jpeg=fast_jpeg)
 
         from srsem.backbones.resnet import make_backbone
         from srsem.backbones.vit import vit_block_taps
@@ -239,7 +240,8 @@ class GroupedMapScorer:
     def __init__(self, cfg: LocalModelConfig, variables, k: int,
                  mesh=None, batch_size: int = 8, fused_tower: bool = False,
                  fused_decoder: bool = False,
-                 fused_interpret: bool | None = None):
+                 fused_interpret: bool | None = None,
+                 fast_jpeg: bool = False):
         from srsem.backbones.resnet import (
             CLIP_STAGE_TAPS,
             CLIP_STEM_TAP,
@@ -266,7 +268,7 @@ class GroupedMapScorer:
         self.batch_size = max(((batch_size + n_data - 1) // n_data) * n_data,
                               n_data)
         self.preprocess = Preprocess.for_backbone(
-            cfg.backbone.kind, cfg.backbone.image_size)
+            cfg.backbone.kind, cfg.backbone.image_size, fast_jpeg=fast_jpeg)
 
         model = make_local_model(cfg)
         backbone = make_backbone(cfg.backbone)

@@ -48,6 +48,7 @@ class PairScorer:
         fused_tower: bool = False,
         fused_decoder: bool = False,
         fused_interpret: bool | None = None,
+        fast_jpeg: bool = False,
     ):
         if fused_tower and cfg.backbone.kind not in (
                 "resnet50", "resnet50_clip"):
@@ -73,7 +74,7 @@ class PairScorer:
         self.num_workers = num_workers
         self.decode_backend = decode_backend
         self.preprocess = Preprocess.for_backbone(
-            cfg.backbone.kind, cfg.backbone.image_size)
+            cfg.backbone.kind, cfg.backbone.image_size, fast_jpeg=fast_jpeg)
         if model_kind == "global":
             self.model = make_global_model(cfg)
         else:

@@ -56,12 +56,12 @@ def _load() -> Optional[ctypes.CDLL]:
             _build_error = str(e)
             return None
         lib.srsem_decode.argtypes = [
-            ctypes.c_char_p, ctypes.c_int, ctypes.c_double,
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_double, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8)]
         lib.srsem_decode.restype = ctypes.c_int
         lib.srsem_decode_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
-            ctypes.c_double, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_double, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_int), ctypes.c_int]
         lib.srsem_decode_batch.restype = ctypes.c_int
         _lib = lib
@@ -77,20 +77,28 @@ def build_error() -> Optional[str]:
     return _build_error
 
 
-def decode(path: str, size: int, crop_pct: float = 1.0) -> Optional[np.ndarray]:
-    """Decode one image → (size, size, 3) uint8, or None on failure."""
+def decode(path: str, size: int, crop_pct: float = 1.0,
+           fast_jpeg: bool = False) -> Optional[np.ndarray]:
+    """Decode one image → (size, size, 3) uint8, or None on failure.
+
+    fast_jpeg enables libjpeg DCT-scaled decode (PIL ``Image.draft``
+    semantics): the JPEG is decoded at the largest M/8 downscale whose
+    shortest edge still covers the resize target, so the bicubic stage only
+    ever downsamples.  Large inputs skip most IDCT + color-conversion work;
+    outputs differ from the full decode by ~1 LSB-scale resampling noise."""
     lib = _load()
     if lib is None:
         return None
     out = np.empty((size, size, 3), np.uint8)
     rc = lib.srsem_decode(
-        path.encode(), size, crop_pct,
+        path.encode(), size, crop_pct, int(fast_jpeg),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return out if rc == 0 else None
 
 
 def decode_batch(paths: Sequence[str], size: int, crop_pct: float = 1.0,
-                 n_threads: int = 16) -> Tuple[np.ndarray, np.ndarray]:
+                 n_threads: int = 16,
+                 fast_jpeg: bool = False) -> Tuple[np.ndarray, np.ndarray]:
     """Decode a batch in C++ worker threads.
 
     Returns (images (N, size, size, 3) uint8, ok (N,) bool). Failed rows are
@@ -103,7 +111,7 @@ def decode_batch(paths: Sequence[str], size: int, crop_pct: float = 1.0,
     status = np.zeros((n,), np.int32)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     lib.srsem_decode_batch(
-        arr, n, size, crop_pct,
+        arr, n, size, crop_pct, int(fast_jpeg),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), n_threads)
     return out, status == 0

@@ -51,7 +51,12 @@ void jpeg_err_exit(j_common_ptr cinfo) {
   longjmp(err->jb, 1);
 }
 
-bool decode_jpeg(const uint8_t* data, size_t len, Image* out) {
+// fast_min_edge > 0 enables DCT-scaled decode (PIL Image.draft semantics):
+// libjpeg decodes at the largest M/8 downscale whose output shortest edge
+// still covers fast_min_edge, so the subsequent bicubic only ever
+// downsamples. Skips most of the IDCT + color conversion on large inputs.
+bool decode_jpeg(const uint8_t* data, size_t len, Image* out,
+                 int fast_min_edge) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
@@ -67,6 +72,19 @@ bool decode_jpeg(const uint8_t* data, size_t len, Image* out) {
     return false;
   }
   cinfo.out_color_space = JCS_RGB;
+  if (fast_min_edge > 0) {
+    const long edge = std::min(cinfo.image_width, cinfo.image_height);
+    int num = 8;
+    for (int n = 1; n < 8; ++n) {
+      // libjpeg output dim at scale n/8 is ceil(dim * n / 8).
+      if ((edge * n + 7) / 8 >= long(fast_min_edge)) {
+        num = n;
+        break;
+      }
+    }
+    cinfo.scale_num = num;
+    cinfo.scale_denom = 8;
+  }
   jpeg_start_decompress(&cinfo);
   out->w = cinfo.output_width;
   out->h = cinfo.output_height;
@@ -234,18 +252,21 @@ bool read_file(const char* path, std::vector<uint8_t>* buf) {
 }
 
 // Decode path → shortest-edge resize to round(size/crop_pct) → center crop
-// size x size. Returns 0 on success.
-int decode_one(const char* path, int size, double crop_pct, uint8_t* out) {
+// size x size. Returns 0 on success. fast_jpeg != 0 enables DCT-scaled
+// JPEG decode (see decode_jpeg); PNG always decodes at full resolution.
+int decode_one(const char* path, int size, double crop_pct, int fast_jpeg,
+               uint8_t* out) {
   std::vector<uint8_t> buf;
   if (!read_file(path, &buf) || buf.size() < 8) return 1;
   Image img;
   bool ok = false;
+  const int min_edge = fast_jpeg ? int(std::lround(size / crop_pct)) : 0;
   if (buf[0] == 0xFF && buf[1] == 0xD8) {
-    ok = decode_jpeg(buf.data(), buf.size(), &img);
+    ok = decode_jpeg(buf.data(), buf.size(), &img, min_edge);
   } else if (buf[0] == 0x89 && buf[1] == 'P') {
     ok = decode_png(buf.data(), buf.size(), &img);
   } else {
-    ok = decode_jpeg(buf.data(), buf.size(), &img) ||
+    ok = decode_jpeg(buf.data(), buf.size(), &img, min_edge) ||
          decode_png(buf.data(), buf.size(), &img);
   }
   if (!ok || img.w <= 0 || img.h <= 0) return 2;
@@ -278,16 +299,20 @@ int decode_one(const char* path, int size, double crop_pct, uint8_t* out) {
 
 extern "C" {
 
-// Single image. Returns 0 on success.
-int srsem_decode(const char* path, int size, double crop_pct, uint8_t* out) {
-  return decode_one(path, size, crop_pct, out);
+// Single image. Returns 0 on success. fast_jpeg != 0 enables DCT-scaled
+// JPEG decode (PIL draft semantics — decoded image stays >= the resize
+// target, bicubic still downsamples).
+int srsem_decode(const char* path, int size, double crop_pct, int fast_jpeg,
+                 uint8_t* out) {
+  return decode_one(path, size, crop_pct, fast_jpeg, out);
 }
 
 // Batch: paths[n] → out[n * size*size*3]; status[n] receives per-image
 // return codes (0 = ok). Worker threads split the range. Returns the number
 // of failures.
 int srsem_decode_batch(const char** paths, int n, int size, double crop_pct,
-                       uint8_t* out, int* status, int n_threads) {
+                       int fast_jpeg, uint8_t* out, int* status,
+                       int n_threads) {
   if (n_threads < 1) n_threads = 1;
   std::atomic<int> next{0};
   std::atomic<int> failures{0};
@@ -295,7 +320,7 @@ int srsem_decode_batch(const char** paths, int n, int size, double crop_pct,
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= n) return;
-      int rc = decode_one(paths[i], size, crop_pct,
+      int rc = decode_one(paths[i], size, crop_pct, fast_jpeg,
                           out + size_t(i) * size * size * 3);
       status[i] = rc;
       if (rc != 0) failures.fetch_add(1);

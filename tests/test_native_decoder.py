@@ -76,3 +76,56 @@ def test_grayscale_png_promoted_to_rgb(tmp_path):
     assert out is not None and out.shape == (64, 64, 3)
     # all three channels equal for grayscale input
     np.testing.assert_array_equal(out[..., 0], out[..., 1])
+
+
+@pytest.fixture()
+def big_jpeg(tmp_path):
+    """Smooth 1024px JPEG — the realistic large-SR-output decode case."""
+    y, x = np.mgrid[0:1024, 0:1280]
+    arr = np.stack([
+        (128 + 100 * np.sin(x / 97.0) * np.cos(y / 71.0)),
+        (128 + 100 * np.cos(x / 53.0)),
+        (128 + 100 * np.sin((x + y) / 129.0)),
+    ], axis=-1).clip(0, 255).astype(np.uint8)
+    p = str(tmp_path / "big.jpg")
+    Image.fromarray(arr).save(p, quality=92)
+    return p
+
+
+def test_fast_jpeg_close_to_full_decode(big_jpeg):
+    """DCT-scaled decode (PIL draft semantics) stays LSB-scale close to the
+    full decode: the scaled image's shortest edge still covers the resize
+    target, so bicubic only ever downsamples."""
+    full = native.decode(big_jpeg, 224, 1.0).astype(np.int32)
+    fast = native.decode(big_jpeg, 224, 1.0, fast_jpeg=True).astype(np.int32)
+    diff = np.abs(full - fast)
+    assert diff.mean() < 1.5
+    assert np.quantile(diff, 0.99) <= 6
+
+
+def test_fast_jpeg_noop_on_small_images(image_files):
+    """Images already at/below the resize target must decode identically:
+    the scale selector picks 8/8 (full resolution)."""
+    pj, _, _ = image_files  # 300x400 vs min_edge 256 -> scale 6/8? No:
+    # min edge 300, target 256 -> smallest n with ceil(300n/8) >= 256 is 7,
+    # so use a target above the edge to force the full-decode branch.
+    full = native.decode(pj, 224, 224 / 300)  # pre-crop target 300
+    fast = native.decode(pj, 224, 224 / 300, fast_jpeg=True)
+    np.testing.assert_array_equal(full, fast)
+
+
+def test_fast_jpeg_pil_draft_path(big_jpeg):
+    """The PIL fallback uses Image.draft with the same contract."""
+    slow = Preprocess(size=224, crop_pct=1.0).decode_uint8(big_jpeg)
+    fast = Preprocess(size=224, crop_pct=1.0,
+                      fast_jpeg=True).decode_uint8(big_jpeg)
+    diff = np.abs(slow.astype(np.int32) - fast.astype(np.int32))
+    assert fast.shape == (224, 224, 3)
+    assert diff.mean() < 1.5
+
+
+def test_fast_jpeg_batch(big_jpeg, image_files):
+    pj, pp, _ = image_files
+    imgs, ok = native.decode_batch([big_jpeg, pj, pp], 128, fast_jpeg=True)
+    assert imgs.shape == (3, 128, 128, 3)
+    assert ok.all()
