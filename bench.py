@@ -19,6 +19,7 @@ returns before execution finishes (measured ~100x inflation).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -27,6 +28,29 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_PAIRS_PER_SEC_PER_CHIP = 20_000 / 60 / 8  # north star, v5e-8
+
+# Dev-only section filter: SRSEM_BENCH_ONLY=substr[,substr...] runs only
+# the secondary sections whose name matches (the headline always runs —
+# later sections reuse its model/params).  Skipped sections print a
+# `"skipped"` line so a filtered run is visibly partial.  Unset (the
+# driver's invocation) every section runs.
+_ONLY = [s for s in os.environ.get("SRSEM_BENCH_ONLY", "").split(",") if s]
+
+
+def _want(name: str) -> bool:
+    return not _ONLY or any(s in name for s in _ONLY)
+
+
+class _SkippedSection(Exception):
+    pass
+
+
+def _section(name: str) -> None:
+    """Raise (caught by the section's except) when filtered out."""
+    if not _want(name):
+        print(json.dumps({"bench": name, "skipped": True}),
+              file=sys.stderr, flush=True)
+        raise _SkippedSection(name)
 
 
 def _throughput(fn, args, batch: int, iters: int, warmup: int = 2) -> float:
@@ -86,6 +110,7 @@ def main() -> None:
     # --- secondary: batch scaling + 512px (BASELINE config #1 is a 512px
     # pair) ---------------------------------------------------------------
     try:
+        _section("global_dense_b256")
         big = 256
         a_big = jax.device_put(
             host.integers(0, 256, (big, size, size, 3), dtype=np.uint8), data)
@@ -95,11 +120,14 @@ def main() -> None:
         note("global_dense_b256", t)
         if t > headline:
             headline = t
+    except _SkippedSection:
+        pass
     except Exception as e:
         print(json.dumps({"bench": "global_dense_b256", "error": str(e)[:200]}),
               file=sys.stderr, flush=True)
 
     try:
+        _section("global_dense_512px")
         hp = 512
         a5 = jax.device_put(
             host.integers(0, 256, (32, hp, hp, 3), dtype=np.uint8), data)
@@ -107,6 +135,8 @@ def main() -> None:
             host.integers(0, 256, (32, hp, hp, 3), dtype=np.uint8), data)
         note("global_dense_512px",
              _throughput(score_global, (gvars, a5, b5), 32, 20))
+    except _SkippedSection:
+        pass
     except Exception as e:
         print(json.dumps({"bench": "global_dense_512px", "error": str(e)[:200]}),
               file=sys.stderr, flush=True)
@@ -115,6 +145,7 @@ def main() -> None:
     # scored against the 5 SR models' outputs — reference README.md:47-53)
     # with ONE shared GT tower pass per group: (1+K)/(2K) of the passes.
     try:
+        _section("global_grouped_gt5")
         from srsem.eval.grouped import GroupedPairScorer
 
         K, G = 5, 24  # G=24 measured faster than 48 (smaller working set)
@@ -133,6 +164,24 @@ def main() -> None:
         if t > headline:
             headline = t
 
+        # Small-G sweep: G=8 measured fastest on-chip (8.9k vs 8.7k at
+        # G=24, 7.6k at G=48 — smaller working set pipelines best;
+        # scripts/ab_group_g.py).
+        G0 = 8
+        grouped0 = GroupedPairScorer(gcfg, jax.device_get(gvars), k=K,
+                                     mesh=mesh, batch_size=G0)
+        gt_g0 = jax.device_put(
+            host.integers(0, 256, (G0, size, size, 3), dtype=np.uint8), data)
+        sr_g0 = jax.device_put(
+            host.integers(0, 256, (G0, K, size, size, 3), dtype=np.uint8),
+            data)
+        t0v = _throughput(
+            lambda a, b: grouped0._score(grouped0._variables, a, b),
+            (gt_g0, sr_g0), G0 * K, 60)
+        note("global_grouped_gt5_g8", t0v)
+        if t0v > headline:
+            headline = t0v
+
         G2 = 48
         grouped2 = GroupedPairScorer(gcfg, jax.device_get(gvars), k=K,
                                      mesh=mesh, batch_size=G2)
@@ -147,6 +196,8 @@ def main() -> None:
         note("global_grouped_gt5_g48", t2)
         if t2 > headline:
             headline = t2
+    except _SkippedSection:
+        pass
     except Exception as e:
         print(json.dumps({"bench": "global_grouped_gt5", "error": str(e)[:300]}),
               file=sys.stderr, flush=True)
@@ -161,6 +212,7 @@ def main() -> None:
 
     # --- secondary: CLU map model ----------------------------------------
     try:
+        _section("clu_maps")
         lcfg = LocalModelConfig(
             backbone=BackboneConfig(kind="resnet50_clip", image_size=size,
                                     compute_dtype="bfloat16"))
@@ -225,6 +277,8 @@ def main() -> None:
         note("clu_grouped_gt5",
              _throughput(lambda a, b: gms._score(gms._variables, a, b),
                          (gt_m, sr_m), Gm * Km, 20))
+    except _SkippedSection:
+        pass
     except Exception as e:
         print(json.dumps({"bench": "clu_maps", "error": str(e)[:300]}),
               file=sys.stderr, flush=True)
@@ -232,6 +286,7 @@ def main() -> None:
     # --- secondary: dual scoring (global score + CLU map, ONE shared
     # frozen-tower pass — BASELINE config #5; srsem/eval/dataset_sweep.py).
     try:
+        _section("dual_global_plus_map")
         from srsem.backbones.resnet import make_backbone
         from srsem.models.global_models import (ConvHeadAggregator,
                                                 squared_diffs, stage_taps_for)
@@ -295,6 +350,8 @@ def main() -> None:
              _throughput(lambda a, b: dual_scorer._score_groups(
                  dual_scorer._gvars, dual_scorer._lvars, a, b)[0],
                          (gt_d, sr_d), Gd * Kd, 20))
+    except _SkippedSection:
+        pass
     except Exception as e:
         print(json.dumps({"bench": "dual_global_plus_map", "error": str(e)[:300]}),
               file=sys.stderr, flush=True)
@@ -302,6 +359,7 @@ def main() -> None:
     # --- secondary: jitted training-step throughput (global regressor,
     # masked-MSE Adam step over the mesh — srsem/train/steps.py).
     try:
+        _section("global_train_step")
         import optax
 
         from srsem.core.meshes import replicate, shard_batch
@@ -341,6 +399,8 @@ def main() -> None:
             loss = one_step()
         jax.device_get(loss)
         note("global_train_step", tb * 20 / (time.perf_counter() - t0))
+    except _SkippedSection:
+        pass
     except Exception as e:
         print(json.dumps({"bench": "global_train_step", "error": str(e)[:300]}),
               file=sys.stderr, flush=True)
@@ -350,6 +410,7 @@ def main() -> None:
     # grid point trains heads on the device-resident diff cache.  Reported
     # as pairs/sec through one 3-point depth-grid epoch.
     try:
+        _section("cached_sweep_epoch_3pt")
         from srsem.backbones.resnet import make_backbone as mk_bb
         from srsem.train.diffcache import build_diff_cache
         from srsem.train.multisweep import depth_grid
@@ -433,6 +494,8 @@ def main() -> None:
             l = one_epoch()
         jax.device_get(l)
         note("cached_sweep_epoch_3pt", cb * nb * 20 / (time.perf_counter() - t0))
+    except _SkippedSection:
+        pass
     except Exception as e:
         print(json.dumps({"bench": "cached_sweep_epoch_3pt",
                           "error": str(e)[:300]}), file=sys.stderr, flush=True)
@@ -444,6 +507,7 @@ def main() -> None:
     # CLIPLPIPS_REG_training_sweep_example.py:107-114) trains from one
     # tower pass with the cache device-resident.
     try:
+        _section("stats_sweep_10k_full")
         import optax
 
         from srsem.backbones.resnet import make_backbone as mk_bb3
@@ -557,6 +621,8 @@ def main() -> None:
             "pair_epochs_per_sec_per_chip": round(
                 batch * nb3 * epochs3 / t_train / n_chips, 2),
         }), file=sys.stderr, flush=True)
+    except _SkippedSection:
+        pass
     except Exception as e:
         print(json.dumps({"bench": "stats_sweep_10k_full",
                           "error": str(e)[:300]}), file=sys.stderr, flush=True)
@@ -565,6 +631,7 @@ def main() -> None:
     # train_local_cached_diffs step without its one-time tower pass —
     # srsem/train/diffcache.py).
     try:
+        _section("clu_cached_train_step")
         import optax
 
         from srsem.models.local_models import CluUnet, make_local_model
@@ -637,6 +704,8 @@ def main() -> None:
             l = one_clu_step()
         jax.device_get(l)
         note("clu_cached_train_step", cb2 * 30 / (time.perf_counter() - t0))
+    except _SkippedSection:
+        pass
     except Exception as e:
         print(json.dumps({"bench": "clu_cached_train_step",
                           "error": str(e)[:300]}), file=sys.stderr, flush=True)
@@ -646,6 +715,7 @@ def main() -> None:
     # reference's analogue is the 8-worker DataLoader feeding the eval loop,
     # CLIPLPIPS_REG_training_sweep_example.py:169-188).
     try:
+        _section("e2e_file_to_score")
         import os
         import tempfile
 
@@ -692,6 +762,8 @@ def main() -> None:
                           "overlap_efficiency": round(e2e / decode_rate, 3),
                           "n_pairs": n_pairs}),
               file=sys.stderr, flush=True)
+    except _SkippedSection:
+        pass
     except Exception as e:
         print(json.dumps({"bench": "e2e_file_to_score", "error": str(e)[:300]}),
               file=sys.stderr, flush=True)
@@ -701,6 +773,7 @@ def main() -> None:
     # JPEGs, the realistic large-SR-output shape where the e2e path is
     # host-decode-bound (BENCH_NOTES.md).
     try:
+        _section("host_decode_1024px_jpeg")
         import os
         import tempfile
 
@@ -731,8 +804,64 @@ def main() -> None:
             "fast_jpeg_images_per_sec": round(rates["fast"], 1),
             "speedup": round(rates["fast"] / rates["full"], 2)}),
             file=sys.stderr, flush=True)
+    except _SkippedSection:
+        pass
     except Exception as e:
         print(json.dumps({"bench": "host_decode_1024px_jpeg",
+                          "error": str(e)[:300]}), file=sys.stderr, flush=True)
+
+    # --- secondary: e2e file→score at the 1024px SR-output shape, full vs
+    # fast-JPEG decode.  This is where the host-decode-bound path actually
+    # lives (SR model outputs are ~1024px; the 300px e2e line above keeps
+    # scale 8/8 so fast-jpeg is a no-op there).
+    try:
+        _section("e2e_file_to_score_1024px")
+        import os
+        import tempfile
+
+        from PIL import Image
+
+        from srsem.eval.scorer import PairScorer
+
+        n_pairs = 192
+        tmp = tempfile.mkdtemp(prefix="srsem_e2e_big_")
+        enc_rng = np.random.default_rng(11)
+        base = enc_rng.integers(0, 255, (1024, 1280, 3), dtype=np.uint8)
+        paths = []
+        for i in range(n_pairs):
+            pa = os.path.join(tmp, f"{i}_a.jpg")
+            pb = os.path.join(tmp, f"{i}_b.jpg")
+            if i < 4:  # unique files for the first few, symlinks after
+                Image.fromarray(np.roll(base, 7 * i, axis=0)).save(
+                    pa, quality=92)
+                Image.fromarray(np.roll(base, 7 * i, axis=1)).save(
+                    pb, quality=92)
+            else:
+                os.symlink(os.path.join(tmp, f"{i % 4}_a.jpg"), pa)
+                os.symlink(os.path.join(tmp, f"{i % 4}_b.jpg"), pb)
+            paths.append((pa, pb))
+
+        rates = {}
+        for fast in (False, True):
+            # batch 128 reuses the 300px e2e line's compiled program
+            sc = PairScorer(gcfg, jax.device_get(gvars), mesh=mesh,
+                            batch_size=128, num_workers=8, fast_jpeg=fast)
+            sc.score_paths(paths[:64])  # warm decode path + compile
+            t0 = time.perf_counter()
+            out = sc.score_paths(paths)
+            rates["fast" if fast else "full"] = (
+                len(paths) / (time.perf_counter() - t0))
+            assert np.isfinite(out).all()
+        print(json.dumps({
+            "bench": "e2e_file_to_score_1024px",
+            "pairs_per_sec": round(rates["full"], 2),
+            "fast_jpeg_pairs_per_sec": round(rates["fast"], 2),
+            "speedup": round(rates["fast"] / rates["full"], 2),
+            "n_pairs": n_pairs}), file=sys.stderr, flush=True)
+    except _SkippedSection:
+        pass
+    except Exception as e:
+        print(json.dumps({"bench": "e2e_file_to_score_1024px",
                           "error": str(e)[:300]}), file=sys.stderr, flush=True)
 
     pairs_per_sec_per_chip = headline / n_chips

@@ -623,8 +623,22 @@ def cmd_train_nr_iqa(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Persistent scoring service (srsem/cli/serve.py)."""
+    from srsem.cli.serve import run_serve
+
+    return run_serve(args)
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="srsem")
+    parser.add_argument(
+        "--compile-cache", default=None, metavar="DIR",
+        help="persistent XLA compilation cache directory (goes BEFORE the "
+             "subcommand): repeat invocations of the same serving/training "
+             "config skip the 20-40s TPU cold compile. Keyed on HLO + "
+             "compile options + jaxlib version — a stale entry is a miss, "
+             "never a wrong program.")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("score", help="batch-score GT/SR pairs from a CSV")
@@ -791,6 +805,40 @@ def main(argv=None) -> int:
     p.add_argument("--out", default="group_scores.csv")
     p.set_defaults(fn=cmd_score_groups)
 
+    p = sub.add_parser(
+        "serve", help="persistent scoring service: JSONL requests over "
+        "stdio (or --http PORT) against a once-compiled model — see "
+        "srsem/cli/serve.py for the protocol")
+    p.add_argument("--backbone", default="resnet50")
+    p.add_argument("--depth", type=int, default=3)
+    p.add_argument("--checkpoint")
+    p.add_argument("--backbone-checkpoint", default=None,
+                   help="converted pretrained tower (srsem convert) to "
+                        "load into params['backbone']")
+    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--group-batch", type=int, default=8,
+                   help="fixed device group batch G: requests are padded "
+                        "to (G, K) so nothing recompiles at request time "
+                        "(G=8 measured fastest on-chip, BENCH_NOTES.md)")
+    p.add_argument("--num-workers", type=int, default=16,
+                   help="host decode thread pool size")
+    p.add_argument("--linger-ms", type=float, default=0.0,
+                   help="micro-batch collection window: wait up to this "
+                        "long for more same-K requests before the device "
+                        "call (0 = score whatever is already queued)")
+    p.add_argument("--http", type=int, default=None, metavar="PORT",
+                   help="serve an embedded HTTP endpoint (POST /, same "
+                        "JSON schema) instead of stdio")
+    p.add_argument("--fast-jpeg", action="store_true",
+                   help="DCT-scaled JPEG decode for large SR outputs")
+    p.add_argument("--warmup-k", type=int, nargs="*", default=[1],
+                   help="compile the (G, K) programs for these K values "
+                        "before accepting requests (prints a ready line "
+                        "on stderr)")
+    p.set_defaults(fn=cmd_serve)
+
     p = sub.add_parser("score-maps-groups", help="CLU fidelity maps for "
                        "each GT against K SR folders with one shared GT "
                        "tower pass per group")
@@ -872,6 +920,15 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_sweep_dataset)
 
     args = parser.parse_args(argv)
+    if args.compile_cache:
+        # Persistent XLA compilation cache (same mechanism as the multichip
+        # dryrun's .jax_dryrun_cache): set before any jit compiles so every
+        # serving/training program below is cached across invocations.
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", args.compile_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     return args.fn(args)
 
 

@@ -1,0 +1,356 @@
+"""Persistent scoring service: the production serving surface.
+
+The reference has no long-lived serving story — every script pays model
+construction + weight load per invocation (e.g. the folder-metrics job
+rebuilds its pyiqa metrics at import,
+reference datasets/SRdatasetPseudolabelGen/1_compute_image_metrics.py:14-27,
+and the sweep scripts rebuild the tower per wandb agent run,
+CLIPLPIPS_REG_training_sweep_example.py:133).  ``srsem serve`` keeps ONE
+process alive: the frozen tower is built, device-placed, and XLA-compiled
+once (optionally from the persistent compile cache, ``srsem
+--compile-cache``), then requests stream through it.
+
+Protocol (JSON Lines over stdio; same schema over the optional embedded
+HTTP endpoint):
+
+    → {"id": 7, "gt": "gt.jpg", "sr": ["a.jpg", "b.jpg"]}
+    ← {"id": 7, "scores": [0.013, 0.175]}
+
+* ``sr`` may be a single path (``"score"`` is then echoed as a scalar
+  alongside the one-element ``"scores"``).
+* A failed decode yields ``null`` for that pair — the reference's NaN-row
+  failure contract (1_compute_image_metrics.py:119-134) — never a crash.
+* ``{"cmd": "ping"}`` → ``{"ok": true}``; ``{"cmd": "shutdown"}`` ends the
+  loop.  Malformed requests get ``{"error": ...}`` responses.
+
+Serving mechanics (TPU-shaped):
+
+* One jitted program per distinct K (the number of SR variants per
+  request): requests are scored by a :class:`GroupedPairScorer` so the GT
+  tower pass is shared across the K SR pairs — (1+K)/(2K) of the dense
+  tower passes (BENCH_NOTES.md).
+* The group batch G is FIXED (``--group-batch``): every device call is
+  padded to (G, K), so shapes are static and nothing recompiles at
+  request time.  Same-K requests arriving together are micro-batched into
+  one device call (up to G per call, ``--linger-ms`` collection window).
+* Host JPEG decode runs in a thread pool and is the expected bottleneck
+  on small hosts; ``--fast-jpeg`` enables the DCT-scaled decode
+  (srsem/native/decoder.cpp) for large SR outputs.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import json
+import math
+import queue
+import sys
+import threading
+from typing import Dict, List, Optional, Sequence, TextIO
+
+import numpy as np
+
+
+def _nan_to_none(x: float) -> Optional[float]:
+    return None if math.isnan(x) else float(x)
+
+
+class ScoreService:
+    """Long-lived scorer registry: one GroupedPairScorer per distinct K.
+
+    Thread-safe for the HTTP handler (device calls serialized by a lock —
+    one chip, one program at a time is also the fastest order).
+    """
+
+    def __init__(self, cfg, variables, group_batch: int = 8,
+                 mesh=None, num_workers: int = 16, fast_jpeg: bool = False):
+        self.cfg = cfg
+        self.variables = variables
+        self.group_batch = group_batch
+        self.mesh = mesh
+        self.num_workers = num_workers
+        self.fast_jpeg = fast_jpeg
+        self._scorers: Dict[int, object] = {}
+        self._lock = threading.Lock()
+        self._pool = cf.ThreadPoolExecutor(max_workers=num_workers)
+
+    def scorer(self, k: int):
+        from srsem.eval.grouped import GroupedPairScorer
+
+        with self._lock:
+            sc = self._scorers.get(k)
+            if sc is None:
+                sc = GroupedPairScorer(
+                    self.cfg, self.variables, k=k, mesh=self.mesh,
+                    batch_size=self.group_batch,
+                    num_workers=self.num_workers, fast_jpeg=self.fast_jpeg)
+                self._scorers[k] = sc
+        return sc
+
+    def warmup(self, ks: Sequence[int]) -> None:
+        """Compile the (G, K) programs before the first request."""
+        size = self.cfg.backbone.image_size
+        for k in ks:
+            sc = self.scorer(k)
+            g = sc.batch_size
+            gt = np.zeros((g, size, size, 3), np.uint8)
+            sr = np.zeros((g, k, size, size, 3), np.uint8)
+            import jax
+
+            jax.device_get(sc.score_arrays(gt, sr))
+
+    def close(self) -> None:
+        self._pool.shutdown(wait=False)
+
+    # ---- request handling --------------------------------------------------
+
+    def score_requests(self, requests: List[dict]) -> List[dict]:
+        """Score a same-K micro-batch in ONE padded device call."""
+        k = len(requests[0]["sr"])
+        sc = self.scorer(k)
+        size = sc.preprocess.size
+
+        def decode(path: str) -> Optional[np.ndarray]:
+            try:
+                return sc.preprocess.decode_uint8(str(path))
+            except Exception:
+                return None
+
+        flat: List[str] = []
+        for r in requests:
+            flat.append(r["gt"])
+            flat.extend(r["sr"])
+        decoded = list(self._pool.map(decode, flat))
+
+        g = sc.batch_size  # fixed G: the compiled shape
+        out: List[dict] = []
+        for start in range(0, len(requests), g):
+            chunk = requests[start: start + g]
+            gt = np.zeros((g, size, size, 3), np.uint8)
+            sr = np.zeros((g, k, size, size, 3), np.uint8)
+            ok = np.zeros((g, k), bool)
+            for i, r in enumerate(chunk):
+                j = (start + i) * (1 + k)
+                imgs = decoded[j: j + 1 + k]
+                if imgs[0] is not None:
+                    gt[i] = imgs[0]
+                    for m, im in enumerate(imgs[1:]):
+                        if im is not None:
+                            sr[i, m] = im
+                            ok[i, m] = True
+            import jax
+
+            with self._lock:
+                scores = np.array(
+                    jax.device_get(sc.score_arrays(gt, sr)),
+                    np.float32, copy=True)
+            scores[~ok] = np.nan
+            for i, r in enumerate(chunk):
+                resp = {"scores": [_nan_to_none(v) for v in scores[i]]}
+                if "id" in r:
+                    resp["id"] = r["id"]
+                if r.get("_scalar"):
+                    resp["score"] = resp["scores"][0]
+                out.append(resp)
+        return out
+
+    def handle(self, req: dict) -> dict:
+        """One request → one response (control commands included)."""
+        if not isinstance(req, dict):
+            return {"error": "request must be a JSON object"}
+        if "cmd" in req:
+            if req["cmd"] == "ping":
+                return {"ok": True}
+            if req["cmd"] == "shutdown":
+                return {"ok": True, "shutdown": True}
+            return {"error": f"unknown cmd {req['cmd']!r}"}
+        norm = _normalize(req)
+        if "error" in norm:
+            return norm
+        return self.score_requests([norm])[0]
+
+
+def _normalize(req: dict) -> dict:
+    """Validate + normalize a scoring request (sr always a list)."""
+    gt = req.get("gt")
+    sr = req.get("sr")
+    if not isinstance(gt, str) or not sr:
+        out = {"error": "request needs 'gt' (path) and 'sr' (path or list)"}
+        if isinstance(req, dict) and "id" in req:
+            out["id"] = req["id"]
+        return out
+    scalar = isinstance(sr, str)
+    sr_list = [sr] if scalar else list(sr)
+    if not all(isinstance(p, str) for p in sr_list):
+        out = {"error": "'sr' entries must be paths"}
+        if "id" in req:
+            out["id"] = req["id"]
+        return out
+    norm = {"gt": gt, "sr": sr_list, "_scalar": scalar}
+    if "id" in req:
+        norm["id"] = req["id"]
+    return norm
+
+
+def serve_stdio(service: ScoreService, inp: TextIO, out: TextIO,
+                linger_ms: float = 0.0) -> int:
+    """JSONL request/response loop.
+
+    A reader thread drains ``inp`` into a queue; the main loop
+    micro-batches same-K requests that are already waiting (plus an
+    optional ``linger_ms`` collection window) into one padded device
+    call.  Responses preserve request order.
+    """
+    q: "queue.Queue[Optional[str]]" = queue.Queue()
+
+    def reader() -> None:
+        for line in inp:
+            q.put(line)
+        q.put(None)  # EOF
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+
+    def emit(resp: dict) -> None:
+        out.write(json.dumps(resp) + "\n")
+        out.flush()
+
+    eof = False
+    while not eof:
+        line = q.get()
+        if line is None:
+            break
+        pending = [line]
+        # Drain whatever is already queued (micro-batch window).
+        deadline = linger_ms / 1000.0
+        while len(pending) < service.group_batch:
+            try:
+                nxt = q.get(timeout=deadline) if deadline else q.get_nowait()
+            except queue.Empty:
+                break
+            if nxt is None:
+                eof = True
+                break
+            pending.append(nxt)
+
+        # Parse; handle control/malformed inline, batch the scoring ones.
+        batch: List[dict] = []
+        order: List[tuple] = []  # ("resp", dict) | ("req", index into batch)
+        shutdown = False
+        for raw in pending:
+            raw = raw.strip()
+            if not raw:
+                continue
+            try:
+                req = json.loads(raw)
+            except Exception as e:
+                order.append(("resp", {"error": f"bad JSON: {e}"}))
+                continue
+            if isinstance(req, dict) and "cmd" in req:
+                resp = service.handle(req)
+                order.append(("resp", resp))
+                if resp.get("shutdown"):
+                    shutdown = True
+                    break
+                continue
+            norm = _normalize(req if isinstance(req, dict) else {})
+            if "error" in norm:
+                order.append(("resp", norm))
+            else:
+                order.append(("req", len(batch)))
+                batch.append(norm)
+
+        # Score: group by K, preserve order within the batch.
+        responses: Dict[int, dict] = {}
+        by_k: Dict[int, List[int]] = {}
+        for i, r in enumerate(batch):
+            by_k.setdefault(len(r["sr"]), []).append(i)
+        for k, idxs in by_k.items():
+            for i, resp in zip(idxs,
+                               service.score_requests([batch[i]
+                                                       for i in idxs])):
+                responses[i] = resp
+        for kind, val in order:
+            emit(val if kind == "resp" else responses[val])
+        if shutdown:
+            return 0
+    return 0
+
+
+def serve_http(service: ScoreService, port: int, host: str = "127.0.0.1"):
+    """Embedded HTTP endpoint (stdlib only): POST / with the same JSON
+    schema as the stdio protocol.  Returns the bound server (caller runs
+    ``serve_forever``)."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self) -> None:  # noqa: N802 (stdlib API name)
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                resp = service.handle(req)
+            except Exception as e:
+                resp = {"error": str(e)[:300]}
+            body = json.dumps(resp).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            if resp.get("shutdown"):
+                threading.Thread(target=self.server.shutdown,
+                                 daemon=True).start()
+
+        def log_message(self, *args) -> None:  # quiet
+            pass
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def run_serve(args) -> int:
+    """CLI entry: build the model once, then serve."""
+    import jax
+    import jax.numpy as jnp
+
+    from srsem.core.config import BackboneConfig, GlobalModelConfig
+    from srsem.models.global_models import make_global_model
+
+    cfg = GlobalModelConfig(
+        backbone=BackboneConfig(kind=args.backbone,
+                                image_size=args.image_size,
+                                compute_dtype=args.dtype),
+        head="stages_cnn", depth=args.depth)
+    model = make_global_model(cfg)
+    size = cfg.backbone.image_size
+    z = jnp.zeros((1, size, size, 3))
+    variables = model.init(jax.random.PRNGKey(0), z, z)
+    from srsem.cli.main import _with_backbone
+
+    variables = _with_backbone(variables, args.backbone_checkpoint)
+    if args.checkpoint:
+        from srsem.train.checkpoint import restore_checkpoint
+        from srsem.train.partition import merge_params
+
+        restored = restore_checkpoint(args.checkpoint)
+        variables = {"params": merge_params(
+            restored["trainable"], variables["params"])}
+
+    service = ScoreService(cfg, variables, group_batch=args.group_batch,
+                           num_workers=args.num_workers,
+                           fast_jpeg=args.fast_jpeg)
+    if args.warmup_k:
+        service.warmup(args.warmup_k)
+        print(json.dumps({"ready": True, "warmed_k": args.warmup_k}),
+              file=sys.stderr, flush=True)
+    try:
+        if args.http:
+            server = serve_http(service, args.http)
+            print(json.dumps({"serving": "http",
+                              "port": server.server_address[1]}),
+                  file=sys.stderr, flush=True)
+            server.serve_forever()
+            return 0
+        return serve_stdio(service, sys.stdin, sys.stdout,
+                           linger_ms=args.linger_ms)
+    finally:
+        service.close()

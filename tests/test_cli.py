@@ -187,3 +187,37 @@ def test_convert_cli_and_backbone_checkpoint(tmp_path):
     assert rc == 0
     df = pd.read_csv(scores_csv)
     assert np.isfinite(df["score"]).all()
+
+
+def test_compile_cache_and_fast_jpeg_flags(tmp_path):
+    """--compile-cache populates a persistent XLA cache; --fast-jpeg plumbs
+    through to the grouped scorer (no-op at these sizes: the JPEG scale
+    selector keeps 8/8 when the image is already near the resize target)."""
+    rng = np.random.default_rng(9)
+    gt = tmp_path / "HQ"
+    gt.mkdir()
+    d = tmp_path / "model0"
+    d.mkdir()
+    for i in range(2):
+        arr = rng.integers(0, 255, (80, 80, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(gt / f"{i}.jpg")
+        Image.fromarray(
+            np.clip(arr + rng.integers(-15, 15, arr.shape), 0, 255)
+            .astype(np.uint8)).save(d / f"{i}.jpg")
+    cache = tmp_path / "xla_cache"
+    out1 = str(tmp_path / "g1.csv")
+    rc = main(["--compile-cache", str(cache),
+               "score-groups", str(gt), str(d), "--batch-size", "2",
+               "--image-size", "64", "--dtype", "float32",
+               "--fast-jpeg", "--out", out1])
+    assert rc == 0
+    assert any(cache.iterdir())  # compiled programs persisted
+    out2 = str(tmp_path / "g2.csv")
+    rc = main(["--compile-cache", str(cache),
+               "score-groups", str(gt), str(d), "--batch-size", "2",
+               "--image-size", "64", "--dtype", "float32", "--out", out2])
+    assert rc == 0
+    df1 = pd.read_csv(out1)
+    df2 = pd.read_csv(out2)
+    np.testing.assert_allclose(df1["model0"].to_numpy(),
+                               df2["model0"].to_numpy(), rtol=1e-5, atol=1e-6)

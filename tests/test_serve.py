@@ -1,0 +1,143 @@
+"""Persistent scoring service (srsem/cli/serve.py): protocol, NaN failure
+contract, micro-batching, and the embedded HTTP endpoint."""
+
+import io
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from srsem.cli.serve import ScoreService, serve_http, serve_stdio
+from srsem.core.config import BackboneConfig, GlobalModelConfig
+from srsem.eval.grouped import GroupedPairScorer
+from srsem.models.global_models import make_global_model
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    import jax.numpy as jnp
+
+    cfg = GlobalModelConfig(
+        backbone=BackboneConfig(kind="resnet50", image_size=64,
+                                compute_dtype="float32"),
+        head="stages_cnn", depth=2)
+    model = make_global_model(cfg)
+    z = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(3), z, z)
+
+    d = tmp_path_factory.mktemp("serve_imgs")
+    rng = np.random.default_rng(0)
+    paths = {}
+    for name in ("gt", "sr_a", "sr_b"):
+        arr = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        p = d / f"{name}.png"
+        Image.fromarray(arr).save(p)
+        paths[name] = str(p)
+    bad = d / "corrupt.png"
+    bad.write_bytes(b"not an image")
+    paths["bad"] = str(bad)
+    return cfg, variables, paths
+
+
+@pytest.mark.slow
+def test_serve_stdio_protocol(setup):
+    cfg, variables, paths = setup
+    service = ScoreService(cfg, variables, group_batch=4)
+    lines = [
+        json.dumps({"cmd": "ping"}),
+        "this is not json",
+        json.dumps({"id": 1, "gt": paths["gt"],
+                    "sr": [paths["sr_a"], paths["sr_b"]]}),
+        json.dumps({"id": 2, "gt": paths["gt"], "sr": paths["sr_a"]}),
+        json.dumps({"id": 3, "gt": paths["bad"], "sr": [paths["sr_a"]]}),
+        json.dumps({"id": 4, "sr": [paths["sr_a"]]}),  # missing gt
+        json.dumps({"cmd": "shutdown"}),
+        json.dumps({"id": 5, "gt": paths["gt"], "sr": paths["sr_a"]}),
+    ]
+    out = io.StringIO()
+    rc = serve_stdio(service, io.StringIO("\n".join(lines) + "\n"), out)
+    service.close()
+    assert rc == 0
+    resps = [json.loads(l) for l in out.getvalue().splitlines()]
+    # Everything up to and including the shutdown ack is answered, in
+    # order; the post-shutdown request is not.
+    assert resps[0] == {"ok": True}
+    assert "bad JSON" in resps[1]["error"]
+
+    r1 = resps[2]
+    assert r1["id"] == 1 and len(r1["scores"]) == 2
+    # Reference scores: the grouped scorer on the same arrays.
+    sc = GroupedPairScorer(cfg, variables, k=2, batch_size=4)
+    gt = sc.preprocess.decode_uint8(paths["gt"])[None]
+    sr = np.stack([sc.preprocess.decode_uint8(paths["sr_a"]),
+                   sc.preprocess.decode_uint8(paths["sr_b"])])[None]
+    want = np.asarray(jax.device_get(sc.score_arrays(gt, sr)))[0]
+    np.testing.assert_allclose(np.asarray(r1["scores"], np.float32), want,
+                               rtol=1e-5, atol=1e-6)
+
+    r2 = resps[3]
+    assert r2["id"] == 2 and "score" in r2  # scalar echo for string sr
+    assert r2["score"] == r2["scores"][0]
+    r3 = resps[4]
+    assert r3["id"] == 3 and r3["scores"] == [None]  # NaN failure contract
+    r4 = resps[5]
+    assert r4["id"] == 4 and "error" in r4
+    assert resps[6] == {"ok": True, "shutdown": True}
+    assert len(resps) == 7
+
+
+@pytest.mark.slow
+def test_serve_stdio_micro_batch_order(setup):
+    """Mixed-K requests already queued are answered in request order from
+    (at most) one padded device call per K."""
+    cfg, variables, paths = setup
+    service = ScoreService(cfg, variables, group_batch=4)
+    reqs = [
+        {"id": 10, "gt": paths["gt"], "sr": [paths["sr_a"]]},
+        {"id": 11, "gt": paths["gt"], "sr": [paths["sr_a"], paths["sr_b"]]},
+        {"id": 12, "gt": paths["gt"], "sr": [paths["sr_b"]]},
+    ]
+    out = io.StringIO()
+    inp = io.StringIO("".join(json.dumps(r) + "\n" for r in reqs))
+    assert serve_stdio(service, inp, out) == 0
+    service.close()
+    resps = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert [r["id"] for r in resps] == [10, 11, 12]
+    assert all(isinstance(r["scores"], list) for r in resps)
+    # K=1 twice, same GT/SR for 10; 12 uses sr_b.
+    assert len(resps[0]["scores"]) == 1
+    assert len(resps[1]["scores"]) == 2
+    # Same pair scored via K=1 and K=2 programs agrees.
+    np.testing.assert_allclose(resps[0]["scores"][0],
+                               resps[1]["scores"][0], rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_serve_http(setup):
+    import threading
+    import urllib.request
+
+    cfg, variables, paths = setup
+    service = ScoreService(cfg, variables, group_batch=4)
+    server = serve_http(service, 0)  # ephemeral port
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    port = server.server_address[1]
+
+    def post(obj):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/", data=json.dumps(obj).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            return json.loads(r.read())
+
+    assert post({"cmd": "ping"}) == {"ok": True}
+    resp = post({"gt": paths["gt"], "sr": paths["sr_a"]})
+    assert "score" in resp and resp["scores"][0] is not None
+    assert post({"cmd": "shutdown"})["shutdown"] is True
+    t.join(timeout=30)
+    server.server_close()
+    service.close()
