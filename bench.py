@@ -612,12 +612,28 @@ def main() -> None:
         jax.device_get(l3)
         t_train = time.perf_counter() - t0
         total = t_build + t_train
+
+        # Closed-form alternative: each grid point solved exactly (ridge
+        # over the same stat cache — srsem/train/statcache.py::
+        # fit_conv_head_closed_form) instead of 30 Adam epochs.
+        from srsem.train.statcache import StatCache, fit_conv_head_closed_form
+
+        cache3 = StatCache(stats=stats10k, y=y10k, mask=m10k)
+        for p in points3:  # compile
+            fit_conv_head_closed_form(cache3, p.tap_names("resnet50"))
+        t0 = time.perf_counter()
+        solve_mse = [fit_conv_head_closed_form(
+            cache3, p.tap_names("resnet50"))["train_mse"] for p in points3]
+        t_solve = time.perf_counter() - t0
+
         print(json.dumps({
             "bench": "stats_sweep_10k_full",
             "pairs": batch * nb3, "epochs": epochs3, "points": len(points3),
             "cache_build_secs": round(t_build, 3),
             "train_secs": round(t_train, 3),
             "total_secs": round(total, 3),
+            "closed_form_solve_secs": round(t_solve, 3),
+            "closed_form_mse_finite": bool(np.all(np.isfinite(solve_mse))),
             "pair_epochs_per_sec_per_chip": round(
                 batch * nb3 * epochs3 / t_train / n_chips, 2),
         }), file=sys.stderr, flush=True)
@@ -862,6 +878,55 @@ def main() -> None:
         pass
     except Exception as e:
         print(json.dumps({"bench": "e2e_file_to_score_1024px",
+                          "error": str(e)[:300]}), file=sys.stderr, flush=True)
+
+    # --- secondary: request latency through the persistent scoring
+    # service (srsem serve): file paths in → scores out, including host
+    # decode and the fixed-G padded device call (srsem/cli/serve.py).
+    try:
+        _section("serve_latency")
+        import os
+        import tempfile
+
+        from PIL import Image
+
+        from srsem.cli.serve import ScoreService
+
+        tmp = tempfile.mkdtemp(prefix="srsem_serve_")
+        enc = np.random.default_rng(13)
+        req_paths = []
+        for nm in ("gt", "sr0", "sr1", "sr2", "sr3", "sr4"):
+            pth = os.path.join(tmp, f"{nm}.jpg")
+            Image.fromarray(enc.integers(0, 255, (size, size, 3),
+                                         dtype=np.uint8)).save(pth,
+                                                               quality=92)
+            req_paths.append(pth)
+        req = {"gt": req_paths[0], "sr": req_paths[1:]}
+
+        service = ScoreService(gcfg, jax.device_get(gvars), group_batch=8,
+                               mesh=mesh, num_workers=8)
+        service.warmup([5])
+        for _ in range(3):
+            service.handle(dict(req))
+        lat = []
+        for _ in range(30):
+            t0 = time.perf_counter()
+            resp = service.handle(dict(req))
+            lat.append(time.perf_counter() - t0)
+        assert all(v is not None for v in resp["scores"])
+        lat = np.sort(np.array(lat)) * 1000.0
+        print(json.dumps({
+            "bench": "serve_latency",
+            "k": 5,
+            "p50_ms": round(float(lat[len(lat) // 2]), 2),
+            "p90_ms": round(float(lat[int(len(lat) * 0.9)]), 2),
+            "requests_per_sec": round(1000.0 / float(np.mean(lat)), 1)}),
+            file=sys.stderr, flush=True)
+        service.close()
+    except _SkippedSection:
+        pass
+    except Exception as e:
+        print(json.dumps({"bench": "serve_latency",
                           "error": str(e)[:300]}), file=sys.stderr, flush=True)
 
     pairs_per_sec_per_chip = headline / n_chips

@@ -111,6 +111,26 @@ def cmd_convert(args) -> int:
             raise SystemExit("--tower (AlexNet/VGG16 feature sd) is "
                              "required for kind=lpips")
         tree = convert_lpips(sd, load_sd(args.tower), net=args.lpips_net)
+    elif kind in ("global_head", "clu_decoder"):
+        # Reference TRAINED checkpoints (save_model output) → an srsem
+        # checkpoint DIRECTORY loadable via --checkpoint on
+        # score/score-groups/serve (global_head) and score-maps-groups/
+        # serve --with-maps (clu_decoder).  Reference formats:
+        # models/global_eval_models.py:419-429 (w_layers state dict),
+        # models/local_eval_models.py:160-171 (decoder state dict).
+        from srsem.train.checkpoint import save_checkpoint
+
+        if kind == "global_head":
+            ckpt = {"trainable": cv.convert_global_head(
+                sd, shared=args.shared_head)}
+        else:
+            dec = cv.convert_clu_decoder(sd)
+            ckpt = {"trainable": dec["params"],
+                    "batch_stats": dec["batch_stats"]}
+        path = save_checkpoint(args.out, 0, ckpt)
+        print(json.dumps({"kind": kind, "out": args.out, "ckpt": path,
+                          "n_arrays": len(jax.tree.leaves(ckpt))}))
+        return 0
     else:
         raise SystemExit(f"unknown kind {kind!r}")
     with open(args.out, "wb") as f:
@@ -278,7 +298,8 @@ def cmd_train_clu(args) -> int:
 
 
 def cmd_sweep_global(args) -> int:
-    if args.shared_tower or args.cached_diffs or args.cached_stats:
+    if (args.shared_tower or args.cached_diffs or args.cached_stats
+            or args.closed_form):
         # Shared-tower: all depth-grid points train on ONE frozen-tower
         # stream per batch (srsem/train/multisweep.py) — ~3x cheaper.
         # Cached-diffs: the tower runs ONCE over the dataset, every epoch
@@ -306,7 +327,16 @@ def cmd_sweep_global(args) -> int:
         train_loader = Loader(Subset(ds, tr), tcfg.batch_size, shuffle=True,
                               seed=tcfg.seed)
         val_loader = Loader(Subset(ds, va), tcfg.batch_size)
-        if args.cached_stats:
+        if args.closed_form:
+            # Closed-form: the conv head is linear in its params up to the
+            # outer ReLU, so each grid point is ONE ridge solve from the
+            # stat cache (srsem/train/statcache.py) — no epochs at all.
+            from srsem.train.statcache import solve_global_sweep_closed_form
+
+            results = solve_global_sweep_closed_form(
+                depth_grid(), cfg, tcfg, train_loader, val_loader,
+                l2=args.l2)
+        elif args.cached_stats:
             from srsem.train.statcache import train_global_sweep_cached_stats
 
             results = train_global_sweep_cached_stats(
@@ -639,6 +669,10 @@ def main(argv=None) -> int:
              "config skip the 20-40s TPU cold compile. Keyed on HLO + "
              "compile options + jaxlib version — a stale entry is a miss, "
              "never a wrong program.")
+    parser.add_argument(
+        "--profile", default=None, metavar="DIR",
+        help="capture a jax.profiler device trace of the subcommand into "
+             "DIR (TensorBoard/XProf format; goes BEFORE the subcommand)")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("score", help="batch-score GT/SR pairs from a CSV")
@@ -718,6 +752,13 @@ def main(argv=None) -> int:
                    help="precompute the frozen tower once and cache only "
                         "the conv head's sufficient statistic (~15 KB/pair; "
                         "exact — srsem/train/statcache.py)")
+    p.add_argument("--closed-form", action="store_true",
+                   help="solve each grid point exactly instead of training "
+                        "it: one ridge solve over the stat cache per point "
+                        "(the pre-ReLU least-squares optimum — "
+                        "srsem/train/statcache.py)")
+    p.add_argument("--l2", type=float, default=1e-6,
+                   help="ridge penalty for --closed-form (weights only)")
     p.set_defaults(fn=cmd_sweep_global)
 
     p = sub.add_parser("sweep-clu")
@@ -810,6 +851,11 @@ def main(argv=None) -> int:
         "stdio (or --http PORT) against a once-compiled model — see "
         "srsem/cli/serve.py for the protocol")
     p.add_argument("--backbone", default="resnet50")
+    p.add_argument("--head", default="stages_cnn",
+                   choices=["stages_cnn", "wperlay_cnn", "single_lin_vit",
+                            "stages_vit", "wperlay_vit"],
+                   help="any grouped-scorable head (ViT heads need "
+                        "--backbone vit_clip)")
     p.add_argument("--depth", type=int, default=3)
     p.add_argument("--checkpoint")
     p.add_argument("--backbone-checkpoint", default=None,
@@ -833,6 +879,16 @@ def main(argv=None) -> int:
                         "JSON schema) instead of stdio")
     p.add_argument("--fast-jpeg", action="store_true",
                    help="DCT-scaled JPEG decode for large SR outputs")
+    p.add_argument("--with-maps", action="store_true",
+                   help="also serve CLU fidelity-map requests "
+                        '({"maps": true[, "maps_dir": DIR]} in the '
+                        "request: map mean/min summaries, full maps as "
+                        ".npy under maps_dir)")
+    p.add_argument("--clu-backbone", default="resnet50_clip",
+                   choices=["resnet50_clip", "resnet50"],
+                   help="CLU backbone for --with-maps")
+    p.add_argument("--clu-checkpoint", default=None,
+                   help="trained CLU decoder checkpoint for --with-maps")
     p.add_argument("--warmup-k", type=int, nargs="*", default=[1],
                    help="compile the (G, K) programs for these K values "
                         "before accepting requests (prints a ready line "
@@ -887,7 +943,12 @@ def main(argv=None) -> int:
     p.add_argument("--kind", required=True,
                    choices=["resnet50", "resnet50_clip", "clip_vit",
                             "hf_clip_text", "hf_clip_vit", "clip_text",
-                            "slip", "minilm", "lpips"])
+                            "slip", "minilm", "lpips",
+                            "global_head", "clu_decoder"])
+    p.add_argument("--shared-head", action="store_true",
+                   help="for global_head: the checkpoint is the singleLin "
+                        "shared ViT head (w_layer Sequential) rather than "
+                        "a per-layer w_layers ModuleList")
     p.add_argument("--image-size", type=int, default=224,
                    help="for resnet50_clip: attnpool grid size")
     p.add_argument("--tower", default=None,
@@ -929,6 +990,14 @@ def main(argv=None) -> int:
         jax.config.update("jax_compilation_cache_dir", args.compile_cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    if args.profile:
+        # Device trace of the whole subcommand for TensorBoard/XProf
+        # (srsem/utils/profiling.py) — the reference has no profiling at
+        # all (SURVEY.md §5).
+        from srsem.utils.profiling import capture_trace
+
+        with capture_trace(args.profile):
+            return args.fn(args)
     return args.fn(args)
 
 

@@ -63,14 +63,18 @@ class ScoreService:
     """
 
     def __init__(self, cfg, variables, group_batch: int = 8,
-                 mesh=None, num_workers: int = 16, fast_jpeg: bool = False):
+                 mesh=None, num_workers: int = 16, fast_jpeg: bool = False,
+                 map_cfg=None, map_variables=None):
         self.cfg = cfg
         self.variables = variables
         self.group_batch = group_batch
         self.mesh = mesh
         self.num_workers = num_workers
         self.fast_jpeg = fast_jpeg
+        self.map_cfg = map_cfg
+        self.map_variables = map_variables
         self._scorers: Dict[int, object] = {}
+        self._map_scorers: Dict[int, object] = {}
         self._lock = threading.Lock()
         self._pool = cf.ThreadPoolExecutor(max_workers=num_workers)
 
@@ -85,6 +89,22 @@ class ScoreService:
                     batch_size=self.group_batch,
                     num_workers=self.num_workers, fast_jpeg=self.fast_jpeg)
                 self._scorers[k] = sc
+        return sc
+
+    def map_scorer(self, k: int):
+        from srsem.eval.grouped import GroupedMapScorer
+
+        if self.map_cfg is None:
+            raise RuntimeError(
+                "map requests need a CLU model — start the service with "
+                "map_cfg/map_variables (CLI: serve --with-maps)")
+        with self._lock:
+            sc = self._map_scorers.get(k)
+            if sc is None:
+                sc = GroupedMapScorer(
+                    self.map_cfg, self.map_variables, k=k, mesh=self.mesh,
+                    batch_size=self.group_batch, fast_jpeg=self.fast_jpeg)
+                self._map_scorers[k] = sc
         return sc
 
     def warmup(self, ks: Sequence[int]) -> None:
@@ -104,10 +124,12 @@ class ScoreService:
 
     # ---- request handling --------------------------------------------------
 
-    def score_requests(self, requests: List[dict]) -> List[dict]:
-        """Score a same-K micro-batch in ONE padded device call."""
-        k = len(requests[0]["sr"])
-        sc = self.scorer(k)
+    def _decoded_chunks(self, sc, requests: List[dict], k: int):
+        """Decode a same-K micro-batch (thread pool) and pack it into the
+        scorer's fixed (G, K) device shape.  Yields
+        ``(chunk_requests, gt, sr, ok, device_result)`` per padded chunk;
+        ``ok[i, m]`` is False where the GT or that SR failed to decode
+        (→ the NaN failure contract)."""
         size = sc.preprocess.size
 
         def decode(path: str) -> Optional[np.ndarray]:
@@ -122,8 +144,9 @@ class ScoreService:
             flat.extend(r["sr"])
         decoded = list(self._pool.map(decode, flat))
 
+        import jax
+
         g = sc.batch_size  # fixed G: the compiled shape
-        out: List[dict] = []
         for start in range(0, len(requests), g):
             chunk = requests[start: start + g]
             gt = np.zeros((g, size, size, 3), np.uint8)
@@ -138,12 +161,18 @@ class ScoreService:
                         if im is not None:
                             sr[i, m] = im
                             ok[i, m] = True
-            import jax
-
             with self._lock:
-                scores = np.array(
-                    jax.device_get(sc.score_arrays(gt, sr)),
-                    np.float32, copy=True)
+                result = np.asarray(
+                    jax.device_get(sc.score_arrays(gt, sr)), np.float32)
+            yield chunk, ok, result
+
+    def score_requests(self, requests: List[dict]) -> List[dict]:
+        """Score a same-K micro-batch in ONE padded device call."""
+        k = len(requests[0]["sr"])
+        sc = self.scorer(k)
+        out: List[dict] = []
+        for chunk, ok, scores in self._decoded_chunks(sc, requests, k):
+            scores = scores.copy()
             scores[~ok] = np.nan
             for i, r in enumerate(chunk):
                 resp = {"scores": [_nan_to_none(v) for v in scores[i]]}
@@ -152,6 +181,46 @@ class ScoreService:
                 if r.get("_scalar"):
                     resp["score"] = resp["scores"][0]
                 out.append(resp)
+        return out
+
+    def map_requests(self, requests: List[dict]) -> List[dict]:
+        """Same-K CLU map micro-batch: per pair a fidelity map — its
+        mean/min summary in the response, the full map as .npy when the
+        request names a ``maps_dir``."""
+        import os
+
+        k = len(requests[0]["sr"])
+        sc = self.map_scorer(k)
+        out: List[dict] = []
+        start = 0
+        for chunk, ok, maps in self._decoded_chunks(sc, requests, k):
+            for i, r in enumerate(chunk):
+                means, mins, paths = [], [], []
+                maps_dir = r.get("maps_dir")
+                if maps_dir:
+                    os.makedirs(maps_dir, exist_ok=True)
+                for m in range(k):
+                    if not ok[i, m]:
+                        means.append(None)
+                        mins.append(None)
+                        paths.append(None)
+                        continue
+                    means.append(float(maps[i, m].mean()))
+                    mins.append(float(maps[i, m].min()))
+                    if maps_dir:
+                        stem = os.path.splitext(
+                            os.path.basename(r["sr"][m]))[0]
+                        p = os.path.join(maps_dir,
+                                         f"{stem}__{i + start}_{m}.npy")
+                        np.save(p, maps[i, m])
+                        paths.append(p)
+                resp = {"map_means": means, "map_mins": mins}
+                if maps_dir:
+                    resp["maps"] = paths
+                if "id" in r:
+                    resp["id"] = r["id"]
+                out.append(resp)
+            start += len(chunk)
         return out
 
     def handle(self, req: dict) -> dict:
@@ -167,7 +236,15 @@ class ScoreService:
         norm = _normalize(req)
         if "error" in norm:
             return norm
-        return self.score_requests([norm])[0]
+        try:
+            if norm.get("maps"):
+                return self.map_requests([norm])[0]
+            return self.score_requests([norm])[0]
+        except RuntimeError as e:
+            out = {"error": str(e)[:300]}
+            if "id" in norm:
+                out["id"] = norm["id"]
+            return out
 
 
 def _normalize(req: dict) -> dict:
@@ -187,6 +264,10 @@ def _normalize(req: dict) -> dict:
             out["id"] = req["id"]
         return out
     norm = {"gt": gt, "sr": sr_list, "_scalar": scalar}
+    if req.get("maps"):
+        norm["maps"] = True
+        if req.get("maps_dir"):
+            norm["maps_dir"] = str(req["maps_dir"])
     if "id" in req:
         norm["id"] = req["id"]
     return norm
@@ -260,15 +341,20 @@ def serve_stdio(service: ScoreService, inp: TextIO, out: TextIO,
                 order.append(("req", len(batch)))
                 batch.append(norm)
 
-        # Score: group by K, preserve order within the batch.
+        # Score: group by (maps?, K), preserve order within the batch.
         responses: Dict[int, dict] = {}
-        by_k: Dict[int, List[int]] = {}
+        by_k: Dict[tuple, List[int]] = {}
         for i, r in enumerate(batch):
-            by_k.setdefault(len(r["sr"]), []).append(i)
-        for k, idxs in by_k.items():
-            for i, resp in zip(idxs,
-                               service.score_requests([batch[i]
-                                                       for i in idxs])):
+            by_k.setdefault((bool(r.get("maps")), len(r["sr"])), []).append(i)
+        for (is_maps, _k), idxs in by_k.items():
+            fn = service.map_requests if is_maps else service.score_requests
+            try:
+                resps = fn([batch[i] for i in idxs])
+            except RuntimeError as e:  # e.g. maps without a CLU model
+                resps = [{"error": str(e)[:300],
+                          **({"id": batch[i]["id"]}
+                             if "id" in batch[i] else {})} for i in idxs]
+            for i, resp in zip(idxs, resps):
                 responses[i] = resp
         for kind, val in order:
             emit(val if kind == "resp" else responses[val])
@@ -319,7 +405,7 @@ def run_serve(args) -> int:
         backbone=BackboneConfig(kind=args.backbone,
                                 image_size=args.image_size,
                                 compute_dtype=args.dtype),
-        head="stages_cnn", depth=args.depth)
+        head=getattr(args, "head", "stages_cnn"), depth=args.depth)
     model = make_global_model(cfg)
     size = cfg.backbone.image_size
     z = jnp.zeros((1, size, size, 3))
@@ -335,9 +421,35 @@ def run_serve(args) -> int:
         variables = {"params": merge_params(
             restored["trainable"], variables["params"])}
 
+    map_cfg = map_vars = None
+    if getattr(args, "with_maps", False):
+        from srsem.core.config import LocalModelConfig
+
+        map_cfg = LocalModelConfig(
+            backbone=BackboneConfig(kind=args.clu_backbone,
+                                    image_size=args.image_size,
+                                    compute_dtype=args.dtype))
+        from srsem.models.local_models import make_local_model
+
+        lmodel = make_local_model(map_cfg)
+        map_vars = lmodel.init(jax.random.PRNGKey(0), z, z, train=False)
+        if args.clu_checkpoint:
+            from srsem.train.checkpoint import restore_checkpoint
+            from srsem.train.partition import merge_params
+
+            restored = restore_checkpoint(args.clu_checkpoint)
+            map_vars = {
+                "params": merge_params(restored["trainable"],
+                                       map_vars["params"]),
+                **({"batch_stats": restored["batch_stats"]}
+                   if "batch_stats" in restored
+                   else {"batch_stats": map_vars.get("batch_stats", {})}),
+            }
+
     service = ScoreService(cfg, variables, group_batch=args.group_batch,
                            num_workers=args.num_workers,
-                           fast_jpeg=args.fast_jpeg)
+                           fast_jpeg=args.fast_jpeg,
+                           map_cfg=map_cfg, map_variables=map_vars)
     if args.warmup_k:
         service.warmup(args.warmup_k)
         print(json.dumps({"ready": True, "warmed_k": args.warmup_k}),

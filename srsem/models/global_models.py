@@ -257,6 +257,24 @@ def conv_head_from_stats(
     return nn.relu(jnp.mean(jnp.stack(layer_scores, axis=0), axis=0))
 
 
+def conv_head_params(weights: Sequence[Array], biases: Sequence[float]):
+    """Build a :class:`ConvHeadAggregator` param tree from per-layer
+    weight vectors ``weights[j]`` (shape ``(C_j,)``) and scalar biases.
+
+    Owns the ``w_layers.{j}`` kernel/bias layout like
+    :func:`conv_head_from_stats` / :func:`fused_grouped_head`; the
+    closed-form head solver (srsem/train/statcache.py) uses it to emit
+    params interchangeable with Adam-trained ones.
+    """
+    return {
+        f"w_layers.{j}": {
+            "kernel": jnp.asarray(w, jnp.float32).reshape(-1, 1),
+            "bias": jnp.asarray([b], jnp.float32),
+        }
+        for j, (w, b) in enumerate(zip(weights, biases))
+    }
+
+
 class TokenHeadAggregator(nn.Module):
     """ViT-token analogue: linear head on squared token diffs, mean over
     tokens then layers, ReLU.  ``shared`` uses one head for all layers

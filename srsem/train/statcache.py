@@ -41,6 +41,7 @@ from srsem.core.meshes import DATA_AXIS, create_mesh, replicate, shard_batch
 from srsem.models.global_models import (
     ConvHeadAggregator,
     conv_head_from_stats,
+    conv_head_params,
     stage_taps_for,
 )
 from srsem.train.metrics import mse as mse_metric, srcc
@@ -126,6 +127,158 @@ def build_stat_cache(
     )
 
 
+def fit_conv_head_closed_form(
+    cache: StatCache,
+    names: Sequence[str],
+    l2: float = 1e-6,
+    label_transform=None,
+) -> Dict:
+    """EXACT ridge solution of the conv head's pre-ReLU MSE objective.
+
+    The head is linear in its parameters — ``score = relu(mean_l(s_l @ w_l
+    + b_l))`` (reference models/global_eval_models.py:379-395) — so up to
+    the outer ReLU (which only clamps negative predictions; labels live in
+    [0, 1]) the masked MSE is ordinary least squares in
+    ``theta = (w_1..w_L, b)``.  The reference's 30 Adam epochs become one
+    (D+1)x(D+1) ``jnp.linalg.solve`` over the same sufficient statistics
+    the stat-cache sweep trains on (D = 3,840 for a depth-3 ResNet grid).
+    The per-layer biases are not separately identifiable (only their mean
+    enters the score), so the shared intercept is replicated into every
+    ``w_layers.{j}`` bias — the returned params are interchangeable with
+    Adam-trained ones everywhere the aggregator is consumed.
+
+    Use directly, or as the init for the Adam path when exact reference
+    training dynamics matter.  ``l2`` regularizes the weights only (not
+    the intercept); 0 is allowed when the normal matrix is well-posed.
+
+    Returns ``{"params", "theta", "train_mse"}`` where ``train_mse`` is
+    the masked pre-ReLU MSE of the solution on ``cache``.
+    """
+    names = list(names)
+    L = len(names)
+    dims = [int(cache.stats[nm].shape[-1]) for nm in names]
+    solve = _closed_form_solve_fn(tuple(names), tuple(dims), float(l2),
+                                  label_transform)
+
+    theta, mse = solve(cache.stats, cache.y, cache.mask)
+    theta = np.asarray(jax.device_get(theta))
+    # The solve's design matrix is concat_l(s_l) / L, so its pred is
+    # (1/L) sum_l s_l @ theta_l + b — exactly the aggregator's layer mean
+    # with w_l = theta_l (the aggregator applies its own 1/L; see
+    # conv_head_from_stats).  theta therefore maps 1:1 onto the weights.
+    splits = np.cumsum(dims)[:-1]
+    weights = list(np.split(theta[:-1], splits))
+    b = float(theta[-1])
+    return {
+        "params": conv_head_params(weights, [b] * L),
+        "theta": theta,
+        "train_mse": float(jax.device_get(mse)),
+    }
+
+
+_SOLVE_CACHE: Dict[tuple, object] = {}
+
+
+def _closed_form_solve_fn(names: tuple, dims: tuple, l2: float,
+                          label_transform):
+    """Jitted ridge solve, cached per (names, dims, l2, transform) so
+    repeat fits (sweep points, serving refits, bench loops) skip
+    re-tracing.  ``label_transform`` identity keys the cache — pass the
+    same callable object for hits."""
+    key = (names, dims, l2,
+           id(label_transform) if label_transform is not None else None)
+    cached = _SOLVE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    L = len(names)
+
+    @jax.jit
+    def solve(stats, y, mask):
+        # Keep the sharded (n_batches, batch) axes intact — contractions
+        # reduce over them (psum on a mesh); reshaping the sharded batch
+        # axis away would force a GSPMD reshard (CLAUDE.md: XLA:CPU's
+        # AllToAllThunk aborts on the virtual test mesh).
+        x = jnp.concatenate(
+            [stats[nm].astype(jnp.float32) for nm in names], axis=-1) / L
+        yv = y.astype(jnp.float32)
+        if label_transform is not None:
+            yv = label_transform(yv)
+        m = mask.astype(jnp.float32)
+        xw = x * m[..., None]
+        d = x.shape[-1]
+        xs = jnp.einsum("nbd->d", xw)
+        a = jnp.zeros((d + 1, d + 1), jnp.float32)
+        a = a.at[:d, :d].set(jnp.einsum("nbd,nbe->de", xw, x)
+                             + l2 * jnp.eye(d, dtype=jnp.float32))
+        a = a.at[:d, d].set(xs)
+        a = a.at[d, :d].set(xs)
+        a = a.at[d, d].set(m.sum())
+        rhs = jnp.concatenate([jnp.einsum("nbd,nb->d", xw, yv),
+                               (m * yv).sum()[None]])
+        theta = jnp.linalg.solve(a, rhs)
+        pred = jnp.einsum("nbd,d->nb", x, theta[:d]) + theta[d]
+        mse = jnp.sum(m * (pred - yv) ** 2) / jnp.maximum(m.sum(), 1.0)
+        return theta, mse
+
+    _SOLVE_CACHE[key] = solve
+    return solve
+
+
+def solve_global_sweep_closed_form(
+    points: Sequence[SweepPoint],
+    cfg: GlobalModelConfig,
+    tcfg: TrainConfig,
+    train_loader,
+    val_loader,
+    mesh=None,
+    l2: float = 1e-6,
+    rng: Optional[jax.Array] = None,
+) -> List[Dict]:
+    """The global sweep SOLVED exactly instead of trained: one tower pass
+    builds the stat cache, then every grid point is a closed-form ridge
+    solve (:func:`fit_conv_head_closed_form`).  Same result contract as
+    :func:`train_global_sweep_cached_stats` (val SRCC/MSE + head params
+    per point); the epochs knob does not exist here — the solution IS the
+    pre-ReLU optimum.
+    """
+    mesh = mesh or create_mesh(tcfg.mesh.data_axis, tcfg.mesh.model_axis)
+    rng = rng if rng is not None else jax.random.PRNGKey(tcfg.seed)
+    kind = cfg.backbone.kind
+    backbone = make_backbone(cfg.backbone)
+
+    (a0, _b0), _ = next(iter(train_loader))[0]
+    a0 = jnp.asarray(a0[:1])
+    bparams = replicate(mesh, backbone.init(rng, a0)["params"])
+
+    tap_union = sorted({n for p in points for n in p.tap_names(kind)})
+    cache = build_stat_cache(backbone, bparams, tap_union, train_loader, mesh)
+    val_cache = build_stat_cache(backbone, bparams, tap_union, val_loader,
+                                 mesh)
+
+    y_val = np.asarray(jax.device_get(val_cache.y))
+    keep = np.asarray(jax.device_get(val_cache.mask)) > 0
+
+    results = []
+    for p in points:
+        names = p.tap_names(kind)
+        fit = fit_conv_head_closed_form(
+            cache, names, l2=l2, label_transform=p.label_transform)
+        sel = [val_cache.stats[nm] for nm in names]
+        pred = np.asarray(jax.device_get(
+            jax.jit(conv_head_from_stats)(fit["params"], sel)))[keep]
+        y_true = y_val[keep]
+        if p.label_transform:
+            y_true = np.asarray(p.label_transform(jnp.asarray(y_true)))
+        results.append({
+            "name": p.name,
+            "train_loss": fit["train_mse"],
+            "val_srcc": float(srcc(pred, y_true)),
+            "val_mse": float(mse_metric(pred, y_true)),
+            "head_params": fit["params"],
+        })
+    return results
+
+
 def train_global_sweep_cached_stats(
     points: Sequence[SweepPoint],
     cfg: GlobalModelConfig,
@@ -134,6 +287,7 @@ def train_global_sweep_cached_stats(
     val_loader,
     mesh=None,
     rng: Optional[jax.Array] = None,
+    closed_form_init: bool = False,
 ) -> List[Dict]:
     """The global sweep trained entirely from per-layer diff statistics.
 
@@ -143,6 +297,10 @@ def train_global_sweep_cached_stats(
     commuted through the 1x1 conv), ~400x smaller cache — the whole
     reference sweep (3 depths x 30 epochs, CLIPLPIPS_REG_training_sweep_
     example.py:107-114) runs on-device after one tower pass.
+
+    ``closed_form_init`` starts each point at its exact pre-ReLU ridge
+    optimum (:func:`fit_conv_head_closed_form`) instead of the Kaiming
+    init — Adam then only refines through the output ReLU.
     """
     mesh = mesh or create_mesh(tcfg.mesh.data_axis, tcfg.mesh.model_axis)
     rng = rng if rng is not None else jax.random.PRNGKey(tcfg.seed)
@@ -166,6 +324,13 @@ def train_global_sweep_cached_stats(
     cache = build_stat_cache(backbone, bparams, tap_union, train_loader, mesh)
     val_cache = build_stat_cache(backbone, bparams, tap_union, val_loader,
                                  mesh)
+
+    if closed_form_init:
+        head_params = [
+            fit_conv_head_closed_form(
+                cache, p.tap_names(kind),
+                label_transform=p.label_transform)["params"]
+            for p in points]
 
     tx = optax.adam(tcfg.lr)
     opt_states = [tx.init(hp) for hp in head_params]

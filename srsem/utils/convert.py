@@ -288,3 +288,114 @@ def convert_clip_text(sd: Mapping[str, Any]) -> Dict:
             flat[(jp, f"mlp.{mlp}", "kernel")] = _np(sd[f"{tp}.mlp.{mlp}.weight"]).T
             flat[(jp, f"mlp.{mlp}", "bias")] = _np(sd[f"{tp}.mlp.{mlp}.bias"])
     return traverse_util.unflatten_dict(flat)
+
+
+def _strip_prefix(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
+    return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+def convert_global_head(sd: Mapping[str, Any], shared: bool = False) -> Dict:
+    """Reference TRAINED-head checkpoint → GlobalPairScorer head params.
+
+    The reference's ``save_model`` writes ``self.w_layers.state_dict()``
+    (reference: models/global_eval_models.py:419-429, 795-801) — keys
+    ``"{j}.weight"``/``"{j}.bias"`` where weight is a ``(1, C, 1, 1)``
+    Conv2d kernel (stages_cnn / clsbckb / wperlay_cnn) or a ``(1, W)``
+    Linear (the ViT heads' identical ModuleList — those classes ship
+    without save_model, but the state-dict layout is the same).  With
+    ``enc_ft`` the reference saves the FULL model state dict instead
+    (:420-421); both forms are accepted — full dicts are filtered on the
+    ``w_layers.`` / ``w_layer.`` / ``fin_lin.`` prefix (use the backbone
+    converters for the ``clip.`` subtree of an enc_ft checkpoint).
+
+    ``shared=True`` selects the singleLin head: ONE Linear inside a
+    Sequential, saved under ``w_layer`` (reference :29-31) → the
+    ``w_layer`` param of TokenHeadAggregator(shared=True).
+
+    The MLP variants' own ``save_model`` is broken in the reference (it
+    saves a nonexistent ``self.w_layers`` — :554, :670), so their trained
+    weights only exist inside enc_ft-style full dicts; ``fin_lin.{i}``
+    Linear entries (torch Sequential indices 0/2/4/6) map to MlpHead's
+    ``fin_lin.{j}``.
+
+    Returns ``{"aggregator": {...}}`` — merge into GlobalPairScorer params
+    with srsem.train.partition.merge_params, or save as the ``trainable``
+    tree of an srsem checkpoint (``srsem convert --kind global_head``).
+    """
+    if any(k.startswith(("w_layers.", "w_layer.", "fin_lin."))
+           for k in sd):
+        lin = _strip_prefix(sd, "fin_lin.")
+        if lin:
+            idxs = sorted({int(k.split(".")[0]) for k in lin})
+            head = {
+                f"fin_lin.{j}": {
+                    "kernel": _np(lin[f"{i}.weight"]).T,
+                    "bias": _np(lin[f"{i}.bias"]),
+                }
+                for j, i in enumerate(idxs)
+            }
+            return {"aggregator": head}
+        sd = (_strip_prefix(sd, "w_layer.") if shared
+              else _strip_prefix(sd, "w_layers."))
+    idxs = sorted({int(k.split(".")[0]) for k in sd if "." in k})
+    heads = {}
+    for j in idxs:
+        w = _np(sd[f"{j}.weight"])
+        if w.ndim == 4:  # (1, C, 1, 1) Conv2d → Dense (C, 1)
+            kernel = w[0, :, 0, 0][:, None]
+        else:  # (1, W) Linear → Dense (W, 1)
+            kernel = w.T
+        heads[f"w_layers.{j}"] = {"kernel": kernel,
+                                  "bias": _np(sd[f"{j}.bias"])}
+    if shared:
+        if len(idxs) != 1:
+            raise ValueError(
+                f"shared head expects ONE linear, got indices {idxs}")
+        heads = {"w_layer": heads["w_layers.0"]}
+    return {"aggregator": heads}
+
+
+def convert_clu_decoder(sd: Mapping[str, Any]) -> Dict:
+    """Reference trained CLU decoder checkpoint → CluUnet decoder trees.
+
+    The reference's ``save_model`` writes ``self.decoder.state_dict()``
+    unless LoRA (reference: models/local_eval_models.py:160-171) — keys
+    ``"{lvl}.{i}.*"`` over a ModuleList of Sequentials ordered shallow→deep
+    (:38-82): index 0 = Conv3x3, 1 = BatchNorm, 3 = second Conv (1x1 at
+    level 0), 4 = second BatchNorm (absent at level 0).  Full state dicts
+    (LoRA / the global UNet copy saved via its own decoder-only
+    save_model, global_eval_models.py:1064-1068) are accepted too —
+    filtered on the ``decoder.`` prefix.
+
+    Returns ``{"params": {"decoder.{lvl}": ...}, "batch_stats":
+    {"decoder.{lvl}": ...}}`` matching CluUnet's DecoderBlock layout
+    (conv1/bn1/conv2/bn2) — the split-conv serving decoder keeps the
+    concat-form kernel layout exactly, so converted checkpoints run
+    unchanged (srsem/models/local_models.py::_ConcatConv).
+    """
+    if any(k.startswith("decoder.") for k in sd):
+        sd = _strip_prefix(sd, "decoder.")
+    lvls = sorted({int(k.split(".")[0]) for k in sd if "." in k})
+    params: Dict[str, Dict] = {}
+    stats: Dict[str, Dict] = {}
+    for lvl in lvls:
+        block = {
+            "conv1": {"kernel": _conv(sd[f"{lvl}.0.weight"]),
+                      "bias": _np(sd[f"{lvl}.0.bias"])},
+            "bn1": {"scale": _np(sd[f"{lvl}.1.weight"]),
+                    "bias": _np(sd[f"{lvl}.1.bias"])},
+            "conv2": {"kernel": _conv(sd[f"{lvl}.3.weight"]),
+                      "bias": _np(sd[f"{lvl}.3.bias"])},
+        }
+        bstats = {
+            "bn1": {"mean": _np(sd[f"{lvl}.1.running_mean"]),
+                    "var": _np(sd[f"{lvl}.1.running_var"])},
+        }
+        if f"{lvl}.4.weight" in sd:  # level 0 has no second BN
+            block["bn2"] = {"scale": _np(sd[f"{lvl}.4.weight"]),
+                            "bias": _np(sd[f"{lvl}.4.bias"])}
+            bstats["bn2"] = {"mean": _np(sd[f"{lvl}.4.running_mean"]),
+                             "var": _np(sd[f"{lvl}.4.running_var"])}
+        params[f"decoder.{lvl}"] = block
+        stats[f"decoder.{lvl}"] = bstats
+    return {"params": params, "batch_stats": stats}

@@ -189,6 +189,30 @@ def test_convert_cli_and_backbone_checkpoint(tmp_path):
     assert np.isfinite(df["score"]).all()
 
 
+def test_profile_flag_captures_trace(tmp_path):
+    """--profile wraps the subcommand in a jax.profiler trace (SURVEY §5:
+    the reference has no profiling; srsem/utils/profiling.py)."""
+    rng = np.random.default_rng(3)
+    csv = tmp_path / "pairs.csv"
+    rows = ["img_a_pth,img_b_pth"]
+    for i in range(2):
+        a = tmp_path / f"g{i}.png"
+        b = tmp_path / f"s{i}.png"
+        arr = rng.integers(0, 255, (48, 48, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(a)
+        Image.fromarray(arr).save(b)
+        rows.append(f"{a},{b}")
+    csv.write_text("\n".join(rows) + "\n")
+    trace_dir = tmp_path / "trace"
+    out = str(tmp_path / "scores.csv")
+    rc = main(["--profile", str(trace_dir),
+               "score", str(csv), "--batch-size", "2",
+               "--set", "backbone.image_size=48",
+               "--set", "backbone.compute_dtype=float32", "--out", out])
+    assert rc == 0
+    assert any(trace_dir.rglob("*"))  # trace files written
+
+
 def test_compile_cache_and_fast_jpeg_flags(tmp_path):
     """--compile-cache populates a persistent XLA cache; --fast-jpeg plumbs
     through to the grouped scorer (no-op at these sizes: the JPEG scale

@@ -116,6 +116,44 @@ def test_serve_stdio_micro_batch_order(setup):
 
 
 @pytest.mark.slow
+def test_serve_maps(setup, tmp_path):
+    """CLU map requests: mean/min summaries + .npy maps on disk; a maps
+    request against a score-only service errors instead of crashing."""
+    import jax.numpy as jnp
+
+    from srsem.core.config import LocalModelConfig
+    from srsem.models.local_models import make_local_model
+
+    cfg, variables, paths = setup
+    lcfg = LocalModelConfig(
+        backbone=BackboneConfig(kind="resnet50_clip", image_size=64,
+                                compute_dtype="float32"))
+    lmodel = make_local_model(lcfg)
+    z = jnp.zeros((1, 64, 64, 3))
+    lvars = lmodel.init(jax.random.PRNGKey(5), z, z, train=False)
+
+    service = ScoreService(cfg, variables, group_batch=4,
+                           map_cfg=lcfg, map_variables=lvars)
+    resp = service.handle({"id": 20, "gt": paths["gt"],
+                           "sr": [paths["sr_a"], paths["bad"]],
+                           "maps": True, "maps_dir": str(tmp_path)})
+    service.close()
+    assert resp["id"] == 20
+    assert resp["map_means"][0] is not None
+    assert 0.0 <= resp["map_means"][0] <= 1.0  # CLU sigmoid range
+    assert resp["map_means"][1] is None  # corrupt SR → NaN contract
+    assert resp["maps"][1] is None
+    m = np.load(resp["maps"][0])
+    assert m.ndim == 2 and np.isfinite(m).all()
+
+    score_only = ScoreService(cfg, variables, group_batch=4)
+    r2 = score_only.handle({"gt": paths["gt"], "sr": paths["sr_a"],
+                            "maps": True})
+    score_only.close()
+    assert "error" in r2 and "CLU" in r2["error"]
+
+
+@pytest.mark.slow
 def test_serve_http(setup):
     import threading
     import urllib.request

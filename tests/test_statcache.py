@@ -23,7 +23,10 @@ from srsem.models.global_models import (
 from srsem.train.diffcache import train_global_sweep_cached_diffs
 from srsem.train.multisweep import SweepPoint, depth_grid
 from srsem.train.statcache import (
+    StatCache,
     build_stat_cache,
+    fit_conv_head_closed_form,
+    solve_global_sweep_closed_form,
     train_global_sweep_cached_stats,
 )
 
@@ -169,6 +172,84 @@ def test_build_stat_cache_shapes():
         s = cache.stats[nm]
         assert s.ndim == 3 and s.shape[:2] == (2, 8)
         assert bool(jnp.all(jnp.isfinite(s)))
+
+
+def test_closed_form_recovers_planted_head():
+    """The ridge solve recovers a planted linear head exactly (pre-ReLU
+    least squares is the head's true objective up to the output clamp),
+    ignores masked rows, and emits params interchangeable with trained
+    ones (scored via conv_head_from_stats)."""
+    rng = np.random.default_rng(3)
+    names = ["a", "b"]
+    dims = [16, 32]
+    nb, bs = 3, 8
+    stats = {nm: jnp.asarray(rng.uniform(0.5, 1.5, (nb, bs, d))
+                             .astype(np.float32))
+             for nm, d in zip(names, dims)}
+    w_true = [rng.normal(size=d).astype(np.float32) * 0.1 for d in dims]
+    b_true = 2.0  # keeps every pre-ReLU score positive → ReLU inactive
+    y = (np.stack([np.asarray(stats[nm]) @ w for nm, w in zip(names, w_true)])
+         .mean(axis=0) + b_true).astype(np.float32)
+    mask = np.ones((nb, bs), np.float32)
+    mask[0, 0] = 0.0
+    y[0, 0] = 1e6  # garbage under the mask — must not leak into the fit
+    cache = StatCache(stats=stats, y=jnp.asarray(y), mask=jnp.asarray(mask))
+
+    fit = fit_conv_head_closed_form(cache, names, l2=0.0)
+    assert fit["train_mse"] < 1e-6
+
+    sel = [stats[nm] for nm in names]
+    pred = np.asarray(conv_head_from_stats(fit["params"], sel))
+    keep = mask > 0
+    np.testing.assert_allclose(pred[keep], y[keep], rtol=1e-4, atol=1e-4)
+
+    # Against an independent numpy least-squares on the same rows.
+    x_np = np.concatenate([np.asarray(stats[nm]) for nm in names],
+                          axis=-1)[keep] / len(names)
+    a_np = np.concatenate([x_np, np.ones((x_np.shape[0], 1), np.float32)], 1)
+    theta_np, *_ = np.linalg.lstsq(a_np, y[keep], rcond=None)
+    pred_np = a_np @ theta_np
+    np.testing.assert_allclose(pred[keep], pred_np, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_closed_form_sweep_fits_learnable_signal():
+    """solve_global_sweep_closed_form: one tower pass + one solve per grid
+    point reaches (at least) the 150-epoch Adam fit on the learnable
+    synthetic signal — and does it with no epochs knob at all."""
+    cfg = GlobalModelConfig(
+        backbone=BackboneConfig(kind="resnet50", image_size=64,
+                                compute_dtype="float32"),
+        head="stages_cnn", depth=3)
+    tcfg = TrainConfig(lr=1e-3, batch_size=8, epochs=1, seed=0)
+    ds = PairDataset(n=16)
+    loader = Loader(ds, batch_size=8, shuffle=True, seed=0, num_workers=2)
+    points = [SweepPoint(name="scaled", depth=2,
+                         label_transform=lambda y: y * 100.0),
+              SweepPoint(name="plain", depth=1)]
+
+    results = solve_global_sweep_closed_form(
+        points, cfg, tcfg, loader, loader, rng=jax.random.PRNGKey(0))
+    assert [r["name"] for r in results] == ["scaled", "plain"]
+    for r in results:
+        assert np.isfinite(r["train_loss"])
+        assert np.isfinite(r["val_mse"])
+    # The Adam path needs 150 epochs to clear 0.8 SRCC on this signal
+    # (test_stat_sweep_multi_epoch_with_label_transform); the solve is the
+    # optimum of the same objective.
+    assert results[0]["val_srcc"] > 0.8, results[0]
+    n_heads = len([k for k in results[0]["head_params"]
+                   if k.startswith("w_layers")])
+    assert n_heads == 3
+
+    # closed_form_init: Adam starting AT the optimum must not lose it in
+    # a couple of refinement epochs.
+    jax.clear_caches()
+    tcfg2 = TrainConfig(lr=1e-4, batch_size=8, epochs=2, seed=0)
+    refined = train_global_sweep_cached_stats(
+        points, cfg, tcfg2, loader, loader, rng=jax.random.PRNGKey(0),
+        closed_form_init=True)
+    assert refined[0]["val_srcc"] > 0.8, refined[0]
 
 
 def test_token_head_from_stats_equals_aggregator():
