@@ -373,6 +373,15 @@ def convert_clu_decoder(sd: Mapping[str, Any]) -> Dict:
     concat-form kernel layout exactly, so converted checkpoints run
     unchanged (srsem/models/local_models.py::_ConcatConv).
     """
+    if any("lora" in k.lower() for k in sd):
+        # LoRA checkpoints are FULL state dicts (reference
+        # local_eval_models.py:160-163); extracting just the decoder would
+        # silently drop the adapted backbone and change every map.
+        raise ValueError(
+            "state dict contains LoRA weights — convert the backbone "
+            "subtree with convert_clip_resnet50/convert_torch_resnet50 "
+            "(LoRA factors follow pytora's layout and need the lora_a/"
+            "lora_b mapping) instead of dropping it")
     if any(k.startswith("decoder.") for k in sd):
         sd = _strip_prefix(sd, "decoder.")
     lvls = sorted({int(k.split(".")[0]) for k in sd if "." in k})

@@ -119,6 +119,15 @@ def test_convert_global_head_full_sd_and_mlp():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=ATOL)
 
 
+def test_convert_clu_decoder_rejects_lora_dicts():
+    """LoRA checkpoints are full state dicts; extracting the decoder
+    alone would silently drop the adapted backbone."""
+    sd = {"decoder.0.0.weight": torch.zeros(1),
+          "clip.stages.0.0.conv1.lora_A": torch.zeros(1)}
+    with pytest.raises(ValueError, match="LoRA"):
+        convert_clu_decoder(sd)
+
+
 def _torch_clu_decoder():
     """The reference decoder ModuleList verbatim
     (reference: models/local_eval_models.py:38-82)."""
