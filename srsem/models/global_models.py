@@ -275,6 +275,21 @@ def conv_head_params(weights: Sequence[Array], biases: Sequence[float]):
     }
 
 
+def token_head_params(weights: Sequence[Array], biases: Sequence[float],
+                      shared: bool = False):
+    """:class:`TokenHeadAggregator` param tree from per-layer weight
+    vectors — the Dense layout is identical to the conv heads'
+    (:func:`conv_head_params`); ``shared`` emits the singleLin ``w_layer``
+    (reference: models/global_eval_models.py:29-31) from ONE weight/bias.
+    """
+    params = conv_head_params(weights, biases)
+    if not shared:
+        return params
+    if len(weights) != 1:
+        raise ValueError("shared head takes exactly one weight vector")
+    return {"w_layer": params["w_layers.0"]}
+
+
 class TokenHeadAggregator(nn.Module):
     """ViT-token analogue: linear head on squared token diffs, mean over
     tokens then layers, ReLU.  ``shared`` uses one head for all layers

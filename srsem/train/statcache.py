@@ -90,13 +90,15 @@ def build_stat_cache(
     def batch_stats(bp, a, b):
         _, taps_a = backbone.apply({"params": bp}, a)
         _, taps_b = backbone.apply({"params": bp}, b)
-        return {
-            nm: jnp.mean(
-                (taps_a[nm].astype(jnp.float32)
-                 - taps_b[nm].astype(jnp.float32)) ** 2,
-                axis=(1, 2))
-            for nm in tap_names
-        }
+        out = {}
+        for nm in tap_names:
+            d = (taps_a[nm].astype(jnp.float32)
+                 - taps_b[nm].astype(jnp.float32)) ** 2
+            # Sufficient statistic of any linear-to-scalar head: mean over
+            # every non-batch, non-feature axis — spatial (N,H,W,C) for
+            # conv taps, tokens (N,T,W) for ViT taps.
+            out[nm] = jnp.mean(d, axis=tuple(range(1, d.ndim - 1)))
+        return out
 
     host: Dict[str, List[np.ndarray]] = {nm: [] for nm in tap_names}
     ys: List[np.ndarray] = []
@@ -171,6 +173,48 @@ def fit_conv_head_closed_form(
     b = float(theta[-1])
     return {
         "params": conv_head_params(weights, [b] * L),
+        "theta": theta,
+        "train_mse": float(jax.device_get(mse)),
+    }
+
+
+def fit_token_head_closed_form(
+    cache: StatCache,
+    names: Sequence[str],
+    shared: bool = False,
+    l2: float = 1e-6,
+    label_transform=None,
+) -> Dict:
+    """Closed-form ridge fit of the ViT token heads (TokenHeadAggregator).
+
+    The token mean is the heads' exact sufficient statistic
+    (:func:`srsem.models.global_models.token_head_from_stats`), and
+    :func:`build_stat_cache` emits it for (N, T, W) taps, so the
+    per-layer fit IS :func:`fit_conv_head_closed_form` — same algebra,
+    same ``w_layers.{j}`` Dense layout.  ``shared`` fits the singleLin
+    head (reference: models/global_eval_models.py:29-80):
+    ``score = mean_l(s_l @ w + b) = (mean_l s_l) @ w + b`` — one (W+1)
+    solve over the layer-mean statistic, emitted as ``w_layer``.
+    """
+    if not shared:
+        return fit_conv_head_closed_form(cache, names, l2=l2,
+                                         label_transform=label_transform)
+    from srsem.models.global_models import token_head_params
+
+    names = list(names)
+    dims = {int(cache.stats[nm].shape[-1]) for nm in names}
+    if len(dims) != 1:
+        raise ValueError(f"shared head needs equal tap widths, got {dims}")
+    merged = jnp.mean(
+        jnp.stack([cache.stats[nm].astype(jnp.float32) for nm in names]),
+        axis=0)
+    solve = _closed_form_solve_fn(("__shared__",), (dims.pop(),),
+                                  float(l2), label_transform)
+    theta, mse = solve({"__shared__": merged}, cache.y, cache.mask)
+    theta = np.asarray(jax.device_get(theta))
+    return {
+        "params": token_head_params([theta[:-1]], [float(theta[-1])],
+                                    shared=True),
         "theta": theta,
         "train_mse": float(jax.device_get(mse)),
     }

@@ -269,3 +269,41 @@ def test_token_head_from_stats_equals_aggregator():
         got = token_head_from_stats(params, stats, shared=shared)
         np.testing.assert_allclose(np.asarray(got), np.asarray(full),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_closed_form_token_heads():
+    """fit_token_head_closed_form: per-layer == the conv solve (same
+    algebra/layout); shared recovers a planted singleLin head via the
+    layer-mean statistic, scored through token_head_from_stats."""
+    from srsem.models.global_models import token_head_from_stats
+    from srsem.train.statcache import fit_token_head_closed_form
+
+    rng = np.random.default_rng(11)
+    names = ["blocks.9", "blocks.10", "blocks.11"]
+    # Overdetermined for BOTH fits: rows (nb*bs=64) > L*W+1=49 unknowns,
+    # else the planted weights aren't identified (any interpolant fits).
+    w_dim, nb, bs = 16, 4, 16
+    stats = {nm: jnp.asarray(rng.uniform(0.2, 1.2, (nb, bs, w_dim))
+                             .astype(np.float32)) for nm in names}
+    w_true = rng.normal(size=w_dim).astype(np.float32) * 0.1
+    b_true = 1.5  # pre-ReLU scores stay positive → ReLU inactive
+    y = (np.stack([np.asarray(stats[nm]) @ w_true for nm in names])
+         .mean(axis=0) + b_true).astype(np.float32)
+    cache = StatCache(stats=stats, y=jnp.asarray(y),
+                      mask=jnp.ones((nb, bs), np.float32))
+
+    fit = fit_token_head_closed_form(cache, names, shared=True, l2=0.0)
+    assert fit["train_mse"] < 1e-8
+    np.testing.assert_allclose(
+        np.asarray(fit["params"]["w_layer"]["kernel"][:, 0]), w_true,
+        rtol=1e-3, atol=1e-4)
+    sel = [stats[nm] for nm in names]
+    pred = np.asarray(token_head_from_stats(fit["params"], sel,
+                                            shared=True))
+    np.testing.assert_allclose(pred, y, rtol=1e-4, atol=1e-4)
+
+    # Per-layer: same solve/layout as the conv head, scored via the
+    # token aggregator's stats path.
+    fit_pl = fit_token_head_closed_form(cache, names, shared=False, l2=0.0)
+    pred_pl = np.asarray(token_head_from_stats(fit_pl["params"], sel))
+    np.testing.assert_allclose(pred_pl, y, rtol=1e-3, atol=1e-3)
