@@ -32,7 +32,10 @@ Serving mechanics (TPU-shaped):
 * The group batch G is FIXED (``--group-batch``): every device call is
   padded to (G, K), so shapes are static and nothing recompiles at
   request time.  Same-K requests arriving together are micro-batched into
-  one device call (up to G per call, ``--linger-ms`` collection window).
+  one device call (up to G per call, ``--linger-ms`` collection window);
+  concurrent HTTP requests coalesce the same way through a dynamic
+  batcher (:meth:`ScoreService.handle_concurrent`) — N clients share
+  padded device calls instead of paying one padded call each.
 * Host JPEG decode runs in a thread pool and is the expected bottleneck
   on small hosts; ``--fast-jpeg`` enables the DCT-scaled decode
   (srsem/native/decoder.cpp) for large SR outputs.
@@ -64,7 +67,7 @@ class ScoreService:
 
     def __init__(self, cfg, variables, group_batch: int = 8,
                  mesh=None, num_workers: int = 16, fast_jpeg: bool = False,
-                 map_cfg=None, map_variables=None):
+                 map_cfg=None, map_variables=None, linger_ms: float = 2.0):
         self.cfg = cfg
         self.variables = variables
         self.group_batch = group_batch
@@ -73,10 +76,14 @@ class ScoreService:
         self.fast_jpeg = fast_jpeg
         self.map_cfg = map_cfg
         self.map_variables = map_variables
+        self.linger_ms = linger_ms
         self._scorers: Dict[int, object] = {}
         self._map_scorers: Dict[int, object] = {}
         self._lock = threading.Lock()
         self._pool = cf.ThreadPoolExecutor(max_workers=num_workers)
+        self._batch_q: "queue.Queue" = queue.Queue()
+        self._collector: Optional[threading.Thread] = None
+        self._collector_lock = threading.Lock()
 
     def scorer(self, k: int):
         from srsem.eval.grouped import GroupedPairScorer
@@ -120,7 +127,82 @@ class ScoreService:
             jax.device_get(sc.score_arrays(gt, sr))
 
     def close(self) -> None:
+        if self._collector is not None:
+            self._batch_q.put(None)
+            self._collector.join(timeout=10)
         self._pool.shutdown(wait=False)
+
+    # ---- cross-request dynamic batching ------------------------------------
+
+    def handle_concurrent(self, req: dict) -> dict:
+        """:meth:`handle` for CONCURRENT callers (the HTTP threads).
+
+        Each device call runs a fixed padded (G, K) program, so N
+        concurrent clients going through :meth:`handle` cost N calls with
+        one used slot each.  This path instead parks the request on a
+        collector that coalesces whatever arrives within ``linger_ms``
+        (grouped by maps?/K, up to G per call) into SHARED device calls —
+        up to G× device efficiency under load, identical responses.
+        Control and malformed requests answer inline.
+        """
+        if not isinstance(req, dict) or "cmd" in req:
+            return self.handle(req)
+        norm = _normalize(req)
+        if "error" in norm:
+            return norm
+        fut: "cf.Future" = cf.Future()
+        self._ensure_collector()
+        self._batch_q.put((norm, fut))
+        return fut.result()
+
+    def _ensure_collector(self) -> None:
+        if self._collector is None:
+            with self._collector_lock:
+                if self._collector is None:
+                    t = threading.Thread(target=self._collect_loop,
+                                         daemon=True)
+                    t.start()
+                    self._collector = t
+
+    def _collect_loop(self) -> None:
+        while True:
+            item = self._batch_q.get()
+            if item is None:
+                return
+            pending = [item]
+            stop = False
+            while len(pending) < self.group_batch:
+                try:
+                    nxt = self._batch_q.get(
+                        timeout=max(self.linger_ms, 0.0) / 1000.0)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    stop = True
+                    break
+                pending.append(nxt)
+            self._drain_batch(pending)
+            if stop:
+                return
+
+    def _drain_batch(self, pending) -> None:
+        """Score a collected batch grouped by (maps?, K); EVERY future
+        resolves — failures become error responses, never hangs."""
+        by_key: Dict[tuple, list] = {}
+        for norm, fut in pending:
+            by_key.setdefault(
+                (bool(norm.get("maps")), len(norm["sr"])), []).append(
+                (norm, fut))
+        for (is_maps, _k), items in by_key.items():
+            fn = self.map_requests if is_maps else self.score_requests
+            try:
+                resps = fn([n for n, _ in items])
+            except Exception as e:
+                resps = [{"error": str(e)[:300],
+                          **({"id": n["id"]} if "id" in n else {})}
+                         for n, _ in items]
+            for (_, fut), resp in zip(items, resps):
+                fut.set_result(resp)
 
     # ---- request handling --------------------------------------------------
 
@@ -374,7 +456,9 @@ def serve_http(service: ScoreService, port: int, host: str = "127.0.0.1"):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
-                resp = service.handle(req)
+                # Concurrent HTTP threads coalesce into shared padded
+                # device calls (see ScoreService.handle_concurrent).
+                resp = service.handle_concurrent(req)
             except Exception as e:
                 resp = {"error": str(e)[:300]}
             body = json.dumps(resp).encode()
@@ -449,7 +533,8 @@ def run_serve(args) -> int:
     service = ScoreService(cfg, variables, group_batch=args.group_batch,
                            num_workers=args.num_workers,
                            fast_jpeg=args.fast_jpeg,
-                           map_cfg=map_cfg, map_variables=map_vars)
+                           map_cfg=map_cfg, map_variables=map_vars,
+                           linger_ms=args.linger_ms or 2.0)
     if args.warmup_k:
         service.warmup(args.warmup_k)
         print(json.dumps({"ready": True, "warmed_k": args.warmup_k}),

@@ -179,3 +179,56 @@ def test_serve_http(setup):
     t.join(timeout=30)
     server.server_close()
     service.close()
+
+
+@pytest.mark.slow
+def test_handle_concurrent_coalesces(setup):
+    """Concurrent handle_concurrent callers share padded device calls
+    (the HTTP path's dynamic batcher): N same-K requests from N threads
+    land in far fewer score_requests invocations, with identical
+    responses; a maps request without a CLU model resolves to an error
+    (the future never hangs)."""
+    import threading
+
+    cfg, variables, paths = setup
+    service = ScoreService(cfg, variables, group_batch=4, linger_ms=250.0)
+
+    calls = []
+    orig = service.score_requests
+
+    def counting(reqs):
+        calls.append(len(reqs))
+        return orig(reqs)
+
+    service.score_requests = counting
+
+    req = {"gt": paths["gt"], "sr": [paths["sr_a"], paths["sr_b"]]}
+    want = service.handle(dict(req))["scores"]  # compiles the K=2 program
+    calls.clear()
+
+    results = [None] * 4
+    barrier = threading.Barrier(4)
+
+    def worker(i):
+        barrier.wait()
+        results[i] = service.handle_concurrent({"id": i, **req})
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert all(r is not None for r in results)
+    for i, r in enumerate(results):
+        assert r["id"] == i
+        np.testing.assert_allclose(r["scores"], want, rtol=1e-5, atol=1e-6)
+    # 4 simultaneous requests within the linger window → fewer device
+    # batches than requests (usually exactly 1 of size 4).
+    assert len(calls) < 4, calls
+    assert sum(calls) == 4
+
+    r_err = service.handle_concurrent(
+        {"id": 9, "gt": paths["gt"], "sr": paths["sr_a"], "maps": True})
+    assert "error" in r_err and "CLU" in r_err["error"]
+    assert r_err["id"] == 9
+    service.close()
