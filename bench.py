@@ -922,6 +922,40 @@ def main() -> None:
             "p90_ms": round(float(lat[int(len(lat) * 0.9)]), 2),
             "requests_per_sec": round(1000.0 / float(np.mean(lat)), 1)}),
             file=sys.stderr, flush=True)
+        # Concurrent throughput: 8 client threads through the dynamic
+        # batcher (ScoreService.handle_concurrent) — requests coalesce
+        # into shared padded (G, K) device calls.
+        import threading
+
+        n_clients, n_each = 8, 12
+        for _ in range(2):  # warm the batched path
+            service.handle_concurrent(dict(req))
+        done = [0] * n_clients
+        barrier = threading.Barrier(n_clients + 1)
+
+        def client(i):
+            barrier.wait()
+            for _ in range(n_each):
+                r = service.handle_concurrent(dict(req))
+                assert "scores" in r
+                done[i] += 1
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(n_clients)]
+        for t in threads:
+            t.start()
+        barrier.wait()
+        t0 = time.perf_counter()
+        for t in threads:
+            t.join()
+        dt = time.perf_counter() - t0
+        total = sum(done)
+        print(json.dumps({
+            "bench": "serve_throughput_concurrent",
+            "clients": n_clients, "k": 5,
+            "requests_per_sec": round(total / dt, 1),
+            "pairs_per_sec": round(total * 5 / dt, 1)}),
+            file=sys.stderr, flush=True)
         service.close()
     except _SkippedSection:
         pass

@@ -228,9 +228,10 @@ def _closed_form_solve_fn(names: tuple, dims: tuple, l2: float,
     """Jitted ridge solve, cached per (names, dims, l2, transform) so
     repeat fits (sweep points, serving refits, bench loops) skip
     re-tracing.  ``label_transform`` identity keys the cache — pass the
-    same callable object for hits."""
-    key = (names, dims, l2,
-           id(label_transform) if label_transform is not None else None)
+    same callable object for hits.  The callable itself (not its id) is
+    the key component: holding the reference prevents a GC'd transform's
+    recycled id from aliasing a stale jitted solve."""
+    key = (names, dims, l2, label_transform)
     cached = _SOLVE_CACHE.get(key)
     if cached is not None:
         return cached
