@@ -196,6 +196,24 @@ def main() -> None:
         note("global_grouped_gt5_g48", t2)
         if t2 > headline:
             headline = t2
+
+        # Grouped at 512px — the BASELINE config #1 pair size, showing the
+        # shared-GT-tower technique holds at the realistic SR resolution.
+        hp = 512
+        gcfg5 = GlobalModelConfig(
+            backbone=BackboneConfig(kind="resnet50", image_size=hp,
+                                    compute_dtype="bfloat16"),
+            head="stages_cnn", depth=3)
+        grouped5 = GroupedPairScorer(gcfg5, jax.device_get(gvars), k=K,
+                                     mesh=mesh, batch_size=4)
+        gt_g5 = jax.device_put(
+            host.integers(0, 256, (4, hp, hp, 3), dtype=np.uint8), data)
+        sr_g5 = jax.device_put(
+            host.integers(0, 256, (4, K, hp, hp, 3), dtype=np.uint8), data)
+        t5 = _throughput(
+            lambda a, b: grouped5._score(grouped5._variables, a, b),
+            (gt_g5, sr_g5), 4 * K, 10)
+        note("global_grouped_gt5_512px", t5)
     except _SkippedSection:
         pass
     except Exception as e:
