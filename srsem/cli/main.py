@@ -24,6 +24,7 @@ from __future__ import annotations
 import argparse
 import ast
 import json
+import os
 import sys
 from typing import Any, Dict, List
 
@@ -269,13 +270,38 @@ def cmd_train_clu(args) -> int:
         TrainConfig(batch_size=80, epochs=60, checkpoint_dir=args.checkpoint_dir),
         _parse_sets(args.train_set))
     pre = Preprocess.for_backbone(cfg.backbone.kind, cfg.backbone.image_size)
+    thresholds = None
+    if getattr(args, "thresholds", None):
+        thresholds = [None if t.lower() in ("none", "null") else float(t)
+                      for t in args.thresholds]
     ds = KoniqPairsMapsDataset(args.csv, pre, only_hq=args.only_hq,
                                imgamincaps=args.min_caps,
-                               threshold=tcfg.map_threshold)
+                               threshold=tcfg.map_threshold,
+                               thresholds=thresholds)
     train_idx, val_idx = seeded_split(len(ds), tcfg.val_fraction, tcfg.seed)
     train_loader = Loader(Subset(ds, train_idx), tcfg.batch_size, shuffle=True,
                           seed=tcfg.seed)
     val_loader = Loader(Subset(ds, val_idx), tcfg.batch_size)
+    if thresholds is not None:
+        # The reference grid's threshold axis in ONE run: one tower+decode
+        # stream trains a decoder per binarization point
+        # (srsem/train/multisweep.py::train_local_sweep_shared_tower).
+        from srsem.train.checkpoint import save_checkpoint
+        from srsem.train.multisweep import train_local_sweep_shared_tower
+
+        results = train_local_sweep_shared_tower(
+            thresholds, cfg, tcfg, train_loader, val_loader)
+        if tcfg.checkpoint_dir:
+            for r in results:
+                save_checkpoint(
+                    os.path.join(tcfg.checkpoint_dir, r["name"]),
+                    tcfg.epochs,
+                    {"trainable": r["trainable"],
+                     "batch_stats": r["batch_stats"]})
+        print(json.dumps([{k: r[k] for k in
+                           ("name", "train_loss", "val_mse")}
+                          for r in results]))
+        return 0
     if args.cached_diffs:
         # Decoder-only fast path: the frozen tower runs ONCE over the
         # dataset; epochs train the decoder on the device-resident diff
@@ -365,7 +391,7 @@ def cmd_sweep_global(args) -> int:
 
 
 def cmd_sweep_clu(args) -> int:
-    from srsem.train.sweep import CLU_SWEEP, make_clu_train_fn, run_sweep
+    from srsem.train.sweep import CLU_SWEEP, run_clu_sweep
 
     axes = dict(CLU_SWEEP)
     if args.limit_axis:
@@ -373,8 +399,8 @@ def cmd_sweep_clu(args) -> int:
         for spec in args.limit_axis:
             key, _, raw = spec.partition("=")
             axes[key] = [ast.literal_eval(raw) if raw != "None" else None]
-    results = run_sweep(make_clu_train_fn(args.csv), axes,
-                        summary_path=args.summary)
+    results = run_clu_sweep(args.csv, axes, summary_path=args.summary,
+                            shared_thresholds=args.shared_thresholds)
     print(json.dumps({"points": len(results)}))
     return 0
 
@@ -735,6 +761,12 @@ def main(argv=None) -> int:
                    help="decoder-only fast path: run the frozen tower once "
                         "over the dataset, train epochs on the cached diff "
                         "pyramids (srsem/train/diffcache.py)")
+    p.add_argument("--thresholds", nargs="+", metavar="T",
+                   help="train the reference grid's whole threshold axis "
+                        "in ONE run (e.g. `--thresholds none 0.4 0.9`): one "
+                        "tower+decode stream, one decoder per binarization "
+                        "point (srsem/train/multisweep.py); checkpoints "
+                        "land under checkpoint_dir/threshold-T/")
     p.set_defaults(fn=cmd_train_clu)
 
     p = sub.add_parser("sweep-global")
@@ -765,6 +797,12 @@ def main(argv=None) -> int:
     p.add_argument("csv")
     p.add_argument("--summary", default="sweep_clu.jsonl")
     p.add_argument("--limit-axis", action="append", default=[])
+    p.add_argument("--shared-thresholds", action="store_true",
+                   help="train each frozen-tower cell's whole threshold "
+                        "axis in ONE run (shared tower + decode stream, "
+                        "one decoder per binarization point — "
+                        "srsem/train/sweep.py::run_clu_sweep); LoRA/full "
+                        "cells fall back to standalone runs")
     p.set_defaults(fn=cmd_sweep_clu)
 
     p = sub.add_parser("pseudo-c2c")

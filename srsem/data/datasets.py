@@ -73,7 +73,8 @@ class KoniqPairsMapsDataset:
 
     def __init__(self, csv_path: str, preprocess: Preprocess,
                  only_hq: bool = False, imgamincaps: int = 2,
-                 threshold: Optional[float] = None):
+                 threshold: Optional[float] = None,
+                 thresholds: Optional[Sequence[Optional[float]]] = None):
         df = pd.read_csv(csv_path)
         df = df[df["ima_ncaps"] >= imgamincaps]
         if only_hq:
@@ -81,9 +82,21 @@ class KoniqPairsMapsDataset:
         self.df = df.reset_index(drop=True)
         self.preprocess = preprocess
         self.threshold = threshold
+        # Multi-threshold mode (the shared-tower CLU sweep,
+        # srsem/train/multisweep.py): emit ONE label per threshold,
+        # stacked (T, H, W), each prepared binarize-THEN-resize exactly
+        # like the single-threshold path — the images and pickle are
+        # decoded once for all T points.
+        self.thresholds = list(thresholds) if thresholds is not None else None
 
     def __len__(self) -> int:
         return len(self.df)
+
+    def _prepare_map(self, cosmap: np.ndarray, t: Optional[float],
+                     hw) -> np.ndarray:
+        if t is not None:
+            cosmap = (cosmap > t).astype(np.float32)
+        return np.asarray(resize_bilinear(cosmap, hw, align_corners=False))
 
     def __getitem__(self, idx: int):
         row = self.df.iloc[idx]
@@ -91,11 +104,13 @@ class KoniqPairsMapsDataset:
         img_b = self.preprocess(row["img_b_pth"])
         with open(row["out_paths"], "rb") as f:
             cosmap = np.asarray(pickle.load(f), dtype=np.float32)
-        if self.threshold is not None:
-            cosmap = (cosmap > self.threshold).astype(np.float32)
-        cosmap = np.asarray(resize_bilinear(
-            cosmap, (img_a.shape[0], img_a.shape[1]), align_corners=False))
-        return ((img_a, img_b), cosmap)
+        hw = (img_a.shape[0], img_a.shape[1])
+        if self.thresholds is not None:
+            label = np.stack(
+                [self._prepare_map(cosmap, t, hw) for t in self.thresholds])
+        else:
+            label = self._prepare_map(cosmap, self.threshold, hw)
+        return ((img_a, img_b), label)
 
 
 class ImpaintMapsDataset:

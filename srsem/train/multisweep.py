@@ -189,3 +189,165 @@ def train_global_sweep_shared_tower(
             "head_params": heads_host[i],
         })
     return results
+
+
+def train_local_sweep_shared_tower(
+    thresholds: Sequence[Optional[float]],
+    cfg,
+    tcfg: TrainConfig,
+    train_loader,
+    val_loader,
+    mesh=None,
+    rng: Optional[jax.Array] = None,
+) -> List[Dict]:
+    """CLU threshold sweep: N binarization points, ONE tower+decode stream.
+
+    The reference's 144-point CLU grid (CLU_training_sweep_example.py:
+    78-89) varies ``threshold ∈ {None, 0.4, 0.9}`` — a LABEL-space axis:
+    the input images, the frozen tower, and therefore the squared-diff
+    pyramids are identical across the three points.  This trainer runs the
+    tower once per batch and trains one decoder per threshold on the
+    shared taps, with per-point labels prepared binarize-THEN-resize by
+    the dataset (``KoniqPairsMapsDataset(thresholds=...)`` — order matters,
+    reference datasets/local_eval_torch_ds.py:35-40).  Host decode, which
+    dominates real epochs, is also paid once instead of N times.
+
+    Every decoder starts from the SAME init (what ``train_local`` would
+    draw from ``rng`` — the dataset never affects init), so each point's
+    trajectory equals its standalone run (tests/test_multisweep.py).
+    Requires a frozen tower (``lora_rank`` must be None — LoRA/full points
+    train the tower and cannot share it).
+
+    ``train_loader``/``val_loader`` must yield multi-threshold labels of
+    shape (N, T, H, W) in threshold order.
+
+    Returns one summary per threshold: {name, train_loss, val_mse,
+    trainable, batch_stats}.
+    """
+    from srsem.backbones.resnet import (
+        CLIP_STAGE_TAPS,
+        CLIP_STEM_TAP,
+        IMAGENET_STAGE_TAPS,
+        IMAGENET_STEM_TAP,
+        make_backbone,
+    )
+    from srsem.models.local_models import CluUnet, make_local_model
+    from srsem.train.partition import merge_params, partition_params, \
+        trainable_predicate
+
+    if cfg.lora_rank is not None:
+        raise ValueError("shared-tower CLU sweep needs a frozen tower "
+                         "(lora_rank=None); LoRA/full points train the "
+                         "tower and cannot share it")
+    mesh = mesh or create_mesh(tcfg.mesh.data_axis, tcfg.mesh.model_axis)
+    rng = rng if rng is not None else jax.random.PRNGKey(tcfg.seed)
+    n_pts = len(thresholds)
+
+    model = make_local_model(cfg, split_tower=False,
+                             width_mult=getattr(cfg, "width_mult", 1.0))
+    size = cfg.backbone.image_size
+    z = jnp.zeros((1, size, size, 3))
+    variables = model.init(rng, z, z, train=False)
+    trainable0, frozen = partition_params(variables["params"],
+                                          trainable_predicate())
+    stats0 = variables.get("batch_stats", {})
+
+    backbone = make_backbone(cfg.backbone)
+    if cfg.backbone.kind == "resnet50_clip":
+        tap_names = (CLIP_STEM_TAP,) + CLIP_STAGE_TAPS
+    else:
+        tap_names = (IMAGENET_STEM_TAP,) + IMAGENET_STAGE_TAPS
+
+    tx = optax.adam(tcfg.lr)
+    trainables = [jax.tree.map(jnp.copy, trainable0) for _ in range(n_pts)]
+    stats_list = [jax.tree.map(jnp.copy, stats0) for _ in range(n_pts)]
+    opt_states = [tx.init(tr) for tr in trainables]
+
+    def tower_taps(fr, a, b):
+        # Two per-image applies, never a 2N concat: the concat of two
+        # data-sharded batches forces a GSPMD all-to-all on multi-device
+        # meshes (and aborts XLA:CPU's AllToAllThunk on the virtual test
+        # mesh — see CluUnet.split_tower).  Identical numerics: the tower's
+        # BN is frozen, so per-image results don't depend on batch
+        # composition.
+        def taps_of(x):
+            _, taps = backbone.apply({"params": fr["backbone"]}, x)
+            return {k: jax.lax.stop_gradient(v) for k, v in taps.items()
+                    if k in tap_names}
+
+        return taps_of(a), taps_of(b)
+
+    @jax.jit
+    def multi_train_step(trains, opts, stats, fr, a, b, y_multi, mask):
+        taps_a, taps_b = tower_taps(fr, a, b)
+        new_tr, new_op, new_st, losses = [], [], [], []
+        for i in range(n_pts):  # static unroll over threshold points
+            y_i = y_multi[:, i]
+
+            def loss_fn(tr, i=i, y_i=y_i):
+                vs = {"params": merge_params(tr, fr),
+                      "batch_stats": stats[i]}
+                pred, upd = model.apply(
+                    vs, taps_a, taps_b, a, b, True,
+                    method=CluUnet.decode_from_taps,
+                    mutable=["batch_stats"])
+                return masked_mse(pred, y_i, mask), upd["batch_stats"]
+
+            (loss, st), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(trains[i])
+            updates, op = tx.update(grads, opts[i], trains[i])
+            new_tr.append(optax.apply_updates(trains[i], updates))
+            new_op.append(op)
+            new_st.append(st)
+            losses.append(loss)
+        return new_tr, new_op, new_st, jnp.stack(losses)
+
+    @jax.jit
+    def multi_eval_step(trains, stats, fr, a, b):
+        taps_a, taps_b = tower_taps(fr, a, b)
+        preds = []
+        for i in range(n_pts):
+            vs = {"params": merge_params(trains[i], fr),
+                  "batch_stats": stats[i]}
+            preds.append(model.apply(vs, taps_a, taps_b, a, b, False,
+                                     method=CluUnet.decode_from_taps))
+        return jnp.stack(preds)  # (P, N, H, W)
+
+    frozen = replicate(mesh, frozen)
+    trainables = replicate(mesh, trainables)
+    stats_list = replicate(mesh, stats_list)
+    opt_states = replicate(mesh, opt_states)
+
+    last_losses = np.zeros(n_pts)
+    for _epoch in range(tcfg.epochs):
+        for ((a, b), y), mask in train_loader:
+            a, b, y, mask = shard_batch(
+                mesh, (np.asarray(a), np.asarray(b),
+                       np.asarray(y, np.float32),
+                       np.asarray(mask, np.float32)))
+            trainables, opt_states, stats_list, losses = multi_train_step(
+                trainables, opt_states, stats_list, frozen, a, b, y, mask)
+        last_losses = np.asarray(jax.device_get(losses))
+
+    sq_err = np.zeros(n_pts)
+    n_valid = 0
+    for ((a, b), y), mask in val_loader:
+        keep = np.asarray(mask) > 0
+        a_d, b_d = shard_batch(mesh, (np.asarray(a), np.asarray(b)))
+        preds = np.asarray(jax.device_get(
+            multi_eval_step(trainables, stats_list, frozen, a_d, b_d)))
+        y_np = np.asarray(y, np.float32)
+        for i in range(n_pts):
+            sq_err[i] += float(((preds[i][keep] - y_np[keep][:, i]) ** 2)
+                               .sum())
+        n_valid += int(keep.sum()) * y_np.shape[-2] * y_np.shape[-1]
+
+    tr_host = jax.device_get(trainables)
+    st_host = jax.device_get(stats_list)
+    return [{
+        "name": f"threshold-{t}",
+        "train_loss": float(last_losses[i]),
+        "val_mse": sq_err[i] / max(n_valid, 1),
+        "trainable": tr_host[i],
+        "batch_stats": st_host[i],
+    } for i, t in enumerate(thresholds)]

@@ -133,3 +133,86 @@ def run_sweep(
         if f:
             f.close()
     return results
+
+
+def run_clu_sweep(
+    csv_path: str,
+    axes: Mapping[str, Sequence[Any]],
+    base_tcfg=None,
+    summary_path: Optional[str] = None,
+    shared_thresholds: bool = False,
+) -> list:
+    """The CLU grid, optionally with the threshold axis trained N-for-1.
+
+    ``shared_thresholds=False`` is ``run_sweep(make_clu_train_fn(...))``.
+    With it on, every frozen-tower cell (``lora_rank=None``) trains its
+    whole ``threshold`` axis in ONE run — shared tower stream, shared host
+    decode, one decoder per binarization point
+    (srsem/train/multisweep.py::train_local_sweep_shared_tower): the
+    reference's 72 frozen-tower agent runs
+    (CLU_training_sweep_example.py:78-89,184-197) become 24.  LoRA/full
+    points train the tower, so they fall back to standalone runs.
+    """
+    if not shared_thresholds:
+        return run_sweep(make_clu_train_fn(csv_path, base_tcfg), axes,
+                         summary_path=summary_path)
+    import dataclasses
+
+    from srsem.core.config import BackboneConfig, LocalModelConfig, TrainConfig
+    from srsem.data.datasets import KoniqPairsMapsDataset, Subset, seeded_split
+    from srsem.data.loader import Loader
+    from srsem.data.preprocess import Preprocess
+    from srsem.train.multisweep import train_local_sweep_shared_tower
+
+    thresholds = list(axes.get("threshold", [None]))
+    outer = {k: v for k, v in axes.items() if k != "threshold"}
+    plain_fn = make_clu_train_fn(csv_path, base_tcfg)
+
+    results = []
+    f = open(summary_path, "a") if summary_path else None
+    try:
+        for cell in grid_points(outer):
+            if cell.get("lora_rank") is not None:
+                # Tower trains → nothing to share; standalone per threshold.
+                for t in thresholds:
+                    point = {**cell, "threshold": t}
+                    t0 = time.time()
+                    summary = dict(plain_fn(point))
+                    rec = {"name": run_name(point), "point": point,
+                           "seconds": time.time() - t0, **summary}
+                    results.append(rec)
+                    if f:
+                        f.write(json.dumps(rec, default=str) + "\n")
+                        f.flush()
+                continue
+
+            tcfg = base_tcfg or TrainConfig(batch_size=80, epochs=60)
+            cfg = LocalModelConfig(
+                backbone=BackboneConfig(kind=cell["backbone_kind"]),
+                lora_rank=None)
+            pre = Preprocess.for_backbone(cell["backbone_kind"],
+                                          cfg.backbone.image_size)
+            ds = KoniqPairsMapsDataset(
+                csv_path, pre, only_hq=cell["only_hq"],
+                imgamincaps=cell["imgamincaps"], thresholds=thresholds)
+            tr, va = seeded_split(len(ds), tcfg.val_fraction, tcfg.seed)
+            t0 = time.time()
+            cell_results = train_local_sweep_shared_tower(
+                thresholds, cfg, tcfg,
+                Loader(Subset(ds, tr), tcfg.batch_size, shuffle=True,
+                       seed=tcfg.seed),
+                Loader(Subset(ds, va), tcfg.batch_size))
+            dt = time.time() - t0
+            for t, r in zip(thresholds, cell_results):
+                point = {**cell, "threshold": t}
+                rec = {"name": run_name(point), "point": point,
+                       "seconds": dt, "shared_thresholds": True,
+                       "mse": r["val_mse"], "train_loss": r["train_loss"]}
+                results.append(rec)
+                if f:
+                    f.write(json.dumps(rec, default=str) + "\n")
+                    f.flush()
+    finally:
+        if f:
+            f.close()
+    return results
