@@ -744,6 +744,131 @@ def main() -> None:
         print(json.dumps({"bench": "clu_cached_train_step",
                           "error": str(e)[:300]}), file=sys.stderr, flush=True)
 
+    # --- secondary: CLU shared-threshold sweep step — the reference grid's
+    # threshold axis trained 3-for-1 (srsem/train/multisweep.py::
+    # train_local_sweep_shared_tower): tower taps once, three decoder
+    # updates, vs three standalone full train steps.
+    try:
+        _section("clu_shared_threshold_step")
+        import optax
+
+        from srsem.backbones.resnet import (CLIP_STAGE_TAPS, CLIP_STEM_TAP,
+                                            make_backbone as mk_bb3)
+        from srsem.models.local_models import CluUnet, make_local_model
+        from srsem.train.partition import (merge_params as mp3,
+                                           partition_params,
+                                           trainable_predicate)
+        from srsem.train.steps import masked_mse
+
+        n_thr, cb3 = 3, 16
+        ccfg3 = LocalModelConfig(
+            backbone=BackboneConfig(kind="resnet50_clip", image_size=size,
+                                    compute_dtype="bfloat16"))
+        cmodel3 = make_local_model(ccfg3)
+        z3 = jnp.zeros((1, size, size, 3))
+        cvars3 = cmodel3.init(rng, z3, z3, train=False)
+        tr3, fr3 = partition_params(cvars3["params"], trainable_predicate())
+        st3 = cvars3.get("batch_stats", {})
+        tx3 = optax.adam(1e-4)
+        trains = jax.device_put([tr3] * n_thr, repl)
+        stats3 = jax.device_put([st3] * n_thr, repl)
+        opts3 = jax.device_put([tx3.init(tr3)] * n_thr, repl)
+        fr3 = jax.device_put(fr3, repl)
+        bb3 = mk_bb3(ccfg3.backbone)
+        names3 = (CLIP_STEM_TAP,) + CLIP_STAGE_TAPS
+
+        a3 = jax.device_put(
+            (np.asarray(jax.device_get(a_u8[:cb3])) / 255.0)
+            .astype(np.float32), data)
+        b3 = jax.device_put(
+            (np.asarray(jax.device_get(b_u8[:cb3])) / 255.0)
+            .astype(np.float32), data)
+        y3 = jax.device_put(
+            np.zeros((cb3, n_thr, size, size), np.float32), data)
+        m3 = jax.device_put(np.ones((cb3,), np.float32), data)
+
+        def taps_of(fr, x):
+            _, taps = bb3.apply({"params": fr["backbone"]}, x)
+            return {k: jax.lax.stop_gradient(v) for k, v in taps.items()
+                    if k in names3}
+
+        def decoder_update(tr, opt, st, fr, taps_a, taps_b, y_i, m):
+            def loss_fn(tr):
+                vs = {"params": mp3(tr, fr), "batch_stats": st}
+                pred, upd = cmodel3.apply(
+                    vs, taps_a, taps_b, None, None, True,
+                    method=CluUnet.decode_from_taps,
+                    mutable=["batch_stats"])
+                return masked_mse(pred, y_i, m), upd["batch_stats"]
+
+            (loss, new_st), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(tr)
+            up, new_opt = tx3.update(grads, opt, tr)
+            return optax.apply_updates(tr, up), new_opt, new_st, loss
+
+        @jax.jit
+        def shared_step(trains, opts, stats, fr, a, b, y, m):
+            ta, tb = taps_of(fr, a), taps_of(fr, b)
+            out = [decoder_update(trains[i], opts[i], stats[i], fr,
+                                  ta, tb, y[:, i], m)
+                   for i in range(n_thr)]
+            return ([o[0] for o in out], [o[1] for o in out],
+                    [o[2] for o in out], out[-1][3])
+
+        @jax.jit
+        def standalone_step(tr, opt, st, fr, a, b, y_i, m):
+            ta, tb = taps_of(fr, a), taps_of(fr, b)
+            return decoder_update(tr, opt, st, fr, ta, tb, y_i, m)
+
+        state3 = {"t": trains, "o": opts3, "s": stats3}
+
+        def one_shared():
+            t, o, s, l = shared_step(state3["t"], state3["o"], state3["s"],
+                                     fr3, a3, b3, y3, m3)
+            state3.update(t=t, o=o, s=s)
+            return l
+
+        jax.device_get(one_shared())
+        t0 = time.perf_counter()
+        for _ in range(15):
+            l = one_shared()
+        jax.device_get(l)
+        shared_rate = cb3 * n_thr * 15 / (time.perf_counter() - t0)
+
+        sstate = {"t": jax.device_put(tr3, repl),
+                  "o": jax.device_put(tx3.init(tr3), repl),
+                  "s": jax.device_put(st3, repl)}
+
+        def one_standalone():
+            t, o, s, l = standalone_step(sstate["t"], sstate["o"],
+                                         sstate["s"], fr3, a3, b3,
+                                         y3[:, 0], m3)
+            sstate.update(t=t, o=o, s=s)
+            return l
+
+        jax.device_get(one_standalone())
+        t0 = time.perf_counter()
+        for _ in range(15):
+            l = one_standalone()
+        jax.device_get(l)
+        standalone_rate = cb3 * 15 / (time.perf_counter() - t0)
+
+        print(json.dumps({
+            "bench": "clu_shared_threshold_step",
+            "points": n_thr, "batch": cb3,
+            "map_point_steps_per_sec_per_chip": round(
+                shared_rate / n_chips, 2),
+            "standalone_per_chip": round(standalone_rate / n_chips, 2),
+            # sweep speedup: 3 standalone runs take 3/standalone_rate per
+            # image; the shared step does all 3 points at shared_rate.
+            "vs_standalone_x": round(shared_rate / standalone_rate, 3)}),
+            file=sys.stderr, flush=True)
+    except _SkippedSection:
+        pass
+    except Exception as e:
+        print(json.dumps({"bench": "clu_shared_threshold_step",
+                          "error": str(e)[:300]}), file=sys.stderr, flush=True)
+
     # --- secondary: END-TO-END file→decode→preprocess→score throughput on
     # a synthetic JPEG folder set (the honest host-bound number; the
     # reference's analogue is the 8-worker DataLoader feeding the eval loop,
