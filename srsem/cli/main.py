@@ -283,6 +283,9 @@ def cmd_train_clu(args) -> int:
                           seed=tcfg.seed)
     val_loader = Loader(Subset(ds, val_idx), tcfg.batch_size)
     if thresholds is not None:
+        if args.cached_diffs:
+            raise SystemExit("--thresholds and --cached-diffs are separate "
+                             "fast paths; pick one")
         # The reference grid's threshold axis in ONE run: one tower+decode
         # stream trains a decoder per binarization point
         # (srsem/train/multisweep.py::train_local_sweep_shared_tower).
@@ -908,10 +911,11 @@ def main(argv=None) -> int:
                         "(G=8 measured fastest on-chip, BENCH_NOTES.md)")
     p.add_argument("--num-workers", type=int, default=16,
                    help="host decode thread pool size")
-    p.add_argument("--linger-ms", type=float, default=0.0,
+    p.add_argument("--linger-ms", type=float, default=None,
                    help="micro-batch collection window: wait up to this "
                         "long for more same-K requests before the device "
-                        "call (0 = score whatever is already queued)")
+                        "call (0 = score whatever is already queued; "
+                        "default 0 for stdio, 2ms for the HTTP batcher)")
     p.add_argument("--http", type=int, default=None, metavar="PORT",
                    help="serve an embedded HTTP endpoint (POST /, same "
                         "JSON schema) instead of stdio")

@@ -84,6 +84,8 @@ class ScoreService:
         self._batch_q: "queue.Queue" = queue.Queue()
         self._collector: Optional[threading.Thread] = None
         self._collector_lock = threading.Lock()
+        self._closed = False
+        self._map_seq = 0  # service-unique .npy naming (map_requests)
 
     def scorer(self, k: int):
         from srsem.eval.grouped import GroupedPairScorer
@@ -127,9 +129,19 @@ class ScoreService:
             jax.device_get(sc.score_arrays(gt, sr))
 
     def close(self) -> None:
+        self._closed = True
         if self._collector is not None:
             self._batch_q.put(None)
-            self._collector.join(timeout=10)
+            self._collector.join(timeout=60)
+            # Resolve anything enqueued after the sentinel (e.g. an HTTP
+            # handler thread racing shutdown) — futures must never hang.
+            while True:
+                try:
+                    item = self._batch_q.get_nowait()
+                except queue.Empty:
+                    break
+                if item is not None:
+                    item[1].set_result({"error": "service closed"})
         self._pool.shutdown(wait=False)
 
     # ---- cross-request dynamic batching ------------------------------------
@@ -150,9 +162,21 @@ class ScoreService:
         norm = _normalize(req)
         if "error" in norm:
             return norm
+        if self._closed:
+            out = {"error": "service closed"}
+            if "id" in norm:
+                out["id"] = norm["id"]
+            return out
         fut: "cf.Future" = cf.Future()
         self._ensure_collector()
         self._batch_q.put((norm, fut))
+        if self._closed and not fut.done():
+            # Raced close(): the collector may already have exited and
+            # close()'s drain may have run before our put — never hang.
+            try:
+                fut.set_result({"error": "service closed"})
+            except Exception:
+                pass  # already resolved by the collector or the drain
         return fut.result()
 
     def _ensure_collector(self) -> None:
@@ -268,19 +292,24 @@ class ScoreService:
     def map_requests(self, requests: List[dict]) -> List[dict]:
         """Same-K CLU map micro-batch: per pair a fidelity map — its
         mean/min summary in the response, the full map as .npy when the
-        request names a ``maps_dir``."""
+        request names a ``maps_dir``.  Filesystem failures (unwritable
+        maps_dir) error that REQUEST only, never the batch or the server.
+        """
         import os
 
         k = len(requests[0]["sr"])
         sc = self.map_scorer(k)
         out: List[dict] = []
-        start = 0
         for chunk, ok, maps in self._decoded_chunks(sc, requests, k):
             for i, r in enumerate(chunk):
                 means, mins, paths = [], [], []
                 maps_dir = r.get("maps_dir")
+                write_err = None
                 if maps_dir:
-                    os.makedirs(maps_dir, exist_ok=True)
+                    try:
+                        os.makedirs(maps_dir, exist_ok=True)
+                    except OSError as e:
+                        write_err = f"maps_dir: {e}"
                 for m in range(k):
                     if not ok[i, m]:
                         means.append(None)
@@ -289,20 +318,37 @@ class ScoreService:
                         continue
                     means.append(float(maps[i, m].mean()))
                     mins.append(float(maps[i, m].min()))
-                    if maps_dir:
+                    if maps_dir and write_err is None:
                         stem = os.path.splitext(
                             os.path.basename(r["sr"][m]))[0]
+                        # Service-unique sequence number: batch-relative
+                        # indices would collide (and silently overwrite)
+                        # across micro-batches sharing a maps_dir.
+                        with self._lock:
+                            seq = self._map_seq
+                            self._map_seq += 1
                         p = os.path.join(maps_dir,
-                                         f"{stem}__{i + start}_{m}.npy")
-                        np.save(p, maps[i, m])
-                        paths.append(p)
+                                         f"{stem}__{seq}_{m}.npy")
+                        try:
+                            np.save(p, maps[i, m])
+                            paths.append(p)
+                        except OSError as e:
+                            write_err = f"map write: {e}"
+                            paths.append(None)
+                    elif maps_dir:
+                        paths.append(None)
                 resp = {"map_means": means, "map_mins": mins}
+                if r.get("_scalar"):
+                    # Scalar-sr convention, like score_requests' "score".
+                    resp["map_mean"] = means[0]
+                    resp["map_min"] = mins[0]
                 if maps_dir:
                     resp["maps"] = paths
+                if write_err:
+                    resp["error"] = write_err[:300]
                 if "id" in r:
                     resp["id"] = r["id"]
                 out.append(resp)
-            start += len(chunk)
         return out
 
     def handle(self, req: dict) -> dict:
@@ -322,7 +368,7 @@ class ScoreService:
             if norm.get("maps"):
                 return self.map_requests([norm])[0]
             return self.score_requests([norm])[0]
-        except RuntimeError as e:
+        except Exception as e:  # one bad request must never kill the loop
             out = {"error": str(e)[:300]}
             if "id" in norm:
                 out["id"] = norm["id"]
@@ -432,7 +478,9 @@ def serve_stdio(service: ScoreService, inp: TextIO, out: TextIO,
             fn = service.map_requests if is_maps else service.score_requests
             try:
                 resps = fn([batch[i] for i in idxs])
-            except RuntimeError as e:  # e.g. maps without a CLU model
+            except Exception as e:  # maps without a CLU model, bad
+                # maps_dir, decode-layer surprises — error the micro-batch,
+                # never the serve loop.
                 resps = [{"error": str(e)[:300],
                           **({"id": batch[i]["id"]}
                              if "id" in batch[i] else {})} for i in idxs]
@@ -534,7 +582,8 @@ def run_serve(args) -> int:
                            num_workers=args.num_workers,
                            fast_jpeg=args.fast_jpeg,
                            map_cfg=map_cfg, map_variables=map_vars,
-                           linger_ms=args.linger_ms or 2.0)
+                           linger_ms=(2.0 if args.linger_ms is None
+                                      else args.linger_ms))
     if args.warmup_k:
         service.warmup(args.warmup_k)
         print(json.dumps({"ready": True, "warmed_k": args.warmup_k}),
@@ -548,6 +597,6 @@ def run_serve(args) -> int:
             server.serve_forever()
             return 0
         return serve_stdio(service, sys.stdin, sys.stdout,
-                           linger_ms=args.linger_ms)
+                           linger_ms=args.linger_ms or 0.0)
     finally:
         service.close()

@@ -235,6 +235,12 @@ def _closed_form_solve_fn(names: tuple, dims: tuple, l2: float,
     cached = _SOLVE_CACHE.get(key)
     if cached is not None:
         return cached
+    if len(_SOLVE_CACHE) >= 64:
+        # Bound the cache: fresh per-call lambdas (a common SweepPoint
+        # pattern) never hit, and each entry pins a compiled executable +
+        # the transform's closure.  FIFO eviction (dict preserves
+        # insertion order) keeps long-lived serving processes flat.
+        _SOLVE_CACHE.pop(next(iter(_SOLVE_CACHE)))
     L = len(names)
 
     @jax.jit

@@ -156,8 +156,6 @@ def run_clu_sweep(
     if not shared_thresholds:
         return run_sweep(make_clu_train_fn(csv_path, base_tcfg), axes,
                          summary_path=summary_path)
-    import dataclasses
-
     from srsem.core.config import BackboneConfig, LocalModelConfig, TrainConfig
     from srsem.data.datasets import KoniqPairsMapsDataset, Subset, seeded_split
     from srsem.data.loader import Loader

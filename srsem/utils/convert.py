@@ -337,7 +337,17 @@ def convert_global_head(sd: Mapping[str, Any], shared: bool = False) -> Dict:
             return {"aggregator": head}
         sd = (_strip_prefix(sd, "w_layer.") if shared
               else _strip_prefix(sd, "w_layers."))
+        if not sd:
+            raise ValueError(
+                "no head keys survived the prefix filter — a 'w_layer.'-"
+                "prefixed (singleLin) checkpoint needs shared=True "
+                "(CLI: --shared-head); a 'w_layers.' one needs shared=False")
     idxs = sorted({int(k.split(".")[0]) for k in sd if "." in k})
+    if not idxs:
+        raise ValueError(
+            f"no '{{index}}.weight' head entries found (keys: "
+            f"{sorted(sd)[:6]}...) — is this really a save_model head "
+            "state dict?")
     heads = {}
     for j in idxs:
         w = _np(sd[f"{j}.weight"])
