@@ -911,6 +911,10 @@ def main(argv=None) -> int:
                         "(G=8 measured fastest on-chip, BENCH_NOTES.md)")
     p.add_argument("--num-workers", type=int, default=16,
                    help="host decode thread pool size")
+    p.add_argument("--decode-cache", type=int, default=256,
+                   help="decoded-image LRU entries (repeat GTs skip host "
+                        "decode — the serving bottleneck; keyed on "
+                        "path+mtime; 0 disables)")
     p.add_argument("--linger-ms", type=float, default=None,
                    help="micro-batch collection window: wait up to this "
                         "long for more same-K requests before the device "

@@ -67,7 +67,10 @@ class ScoreService:
 
     def __init__(self, cfg, variables, group_batch: int = 8,
                  mesh=None, num_workers: int = 16, fast_jpeg: bool = False,
-                 map_cfg=None, map_variables=None, linger_ms: float = 2.0):
+                 map_cfg=None, map_variables=None, linger_ms: float = 2.0,
+                 decode_cache: int = 256):
+        from collections import OrderedDict
+
         self.cfg = cfg
         self.variables = variables
         self.group_batch = group_batch
@@ -77,6 +80,7 @@ class ScoreService:
         self.map_cfg = map_cfg
         self.map_variables = map_variables
         self.linger_ms = linger_ms
+        self.decode_cache = decode_cache
         self._scorers: Dict[int, object] = {}
         self._map_scorers: Dict[int, object] = {}
         self._lock = threading.Lock()
@@ -86,6 +90,13 @@ class ScoreService:
         self._collector_lock = threading.Lock()
         self._closed = False
         self._map_seq = 0  # service-unique .npy naming (map_requests)
+        self._decoded: "OrderedDict" = OrderedDict()  # LRU: see _decode_cached
+        self._cache_lock = threading.Lock()
+        self.stats: Dict[str, int] = {
+            "requests": 0, "errors": 0, "device_batches": 0,
+            "batched_pairs": 0, "decode_cache_hits": 0,
+            "decode_cache_misses": 0,
+        }
 
     def scorer(self, k: int):
         from srsem.eval.grouped import GroupedPairScorer
@@ -161,6 +172,8 @@ class ScoreService:
             return self.handle(req)
         norm = _normalize(req)
         if "error" in norm:
+            with self._cache_lock:
+                self.stats["errors"] += 1
             return norm
         if self._closed:
             out = {"error": "service closed"}
@@ -230,6 +243,40 @@ class ScoreService:
 
     # ---- request handling --------------------------------------------------
 
+    def _decode_cached(self, sc, path: str):
+        """Decode one image through the service LRU.
+
+        The path is host-decode-bound (BENCH_NOTES.md), and real serving
+        traffic repeats images — the same GT scored against successive SR
+        batches, retries, A/B re-requests.  The cache keys on
+        (path, mtime, size_px), so an overwritten file is a miss, never a
+        stale hit.  ``decode_cache=0`` disables."""
+        import os
+
+        size = sc.preprocess.size
+        key = None
+        if self.decode_cache:
+            try:
+                key = (str(path), os.stat(path).st_mtime_ns, size)
+            except OSError:
+                return None
+            with self._cache_lock:
+                if key in self._decoded:
+                    self._decoded.move_to_end(key)
+                    self.stats["decode_cache_hits"] += 1
+                    return self._decoded[key]
+        try:
+            img = sc.preprocess.decode_uint8(str(path))
+        except Exception:
+            return None
+        if key is not None:
+            with self._cache_lock:
+                self.stats["decode_cache_misses"] += 1
+                self._decoded[key] = img
+                while len(self._decoded) > self.decode_cache:
+                    self._decoded.popitem(last=False)
+        return img
+
     def _decoded_chunks(self, sc, requests: List[dict], k: int):
         """Decode a same-K micro-batch (thread pool) and pack it into the
         scorer's fixed (G, K) device shape.  Yields
@@ -238,17 +285,12 @@ class ScoreService:
         (→ the NaN failure contract)."""
         size = sc.preprocess.size
 
-        def decode(path: str) -> Optional[np.ndarray]:
-            try:
-                return sc.preprocess.decode_uint8(str(path))
-            except Exception:
-                return None
-
         flat: List[str] = []
         for r in requests:
             flat.append(r["gt"])
             flat.extend(r["sr"])
-        decoded = list(self._pool.map(decode, flat))
+        decoded = list(self._pool.map(
+            lambda p: self._decode_cached(sc, p), flat))
 
         import jax
 
@@ -268,12 +310,16 @@ class ScoreService:
                             sr[i, m] = im
                             ok[i, m] = True
             with self._lock:
+                self.stats["device_batches"] += 1
+                self.stats["batched_pairs"] += int(ok.sum())
                 result = np.asarray(
                     jax.device_get(sc.score_arrays(gt, sr)), np.float32)
             yield chunk, ok, result
 
     def score_requests(self, requests: List[dict]) -> List[dict]:
         """Score a same-K micro-batch in ONE padded device call."""
+        with self._cache_lock:
+            self.stats["requests"] += len(requests)
         k = len(requests[0]["sr"])
         sc = self.scorer(k)
         out: List[dict] = []
@@ -358,17 +404,28 @@ class ScoreService:
         if "cmd" in req:
             if req["cmd"] == "ping":
                 return {"ok": True}
+            if req["cmd"] == "stats":
+                # Observability: request/error counters, device-call
+                # coalescing, decode-cache effectiveness.
+                with self._cache_lock:
+                    out = dict(self.stats)
+                out["decode_cache_entries"] = len(self._decoded)
+                out["warmed_k"] = sorted(self._scorers)
+                return out
             if req["cmd"] == "shutdown":
                 return {"ok": True, "shutdown": True}
             return {"error": f"unknown cmd {req['cmd']!r}"}
         norm = _normalize(req)
         if "error" in norm:
+            with self._cache_lock:
+                self.stats["errors"] += 1
             return norm
         try:
             if norm.get("maps"):
                 return self.map_requests([norm])[0]
             return self.score_requests([norm])[0]
         except Exception as e:  # one bad request must never kill the loop
+            self.stats["errors"] += 1
             out = {"error": str(e)[:300]}
             if "id" in norm:
                 out["id"] = norm["id"]
@@ -578,12 +635,21 @@ def run_serve(args) -> int:
                    else {"batch_stats": map_vars.get("batch_stats", {})}),
             }
 
+    # Multi-chip hosts shard the padded (G, K) batch over the data mesh;
+    # single-chip stays mesh-free (identical behavior).
+    mesh = None
+    if jax.device_count() > 1:
+        from srsem.core.meshes import create_mesh
+
+        mesh = create_mesh()
     service = ScoreService(cfg, variables, group_batch=args.group_batch,
+                           mesh=mesh,
                            num_workers=args.num_workers,
                            fast_jpeg=args.fast_jpeg,
                            map_cfg=map_cfg, map_variables=map_vars,
                            linger_ms=(2.0 if args.linger_ms is None
-                                      else args.linger_ms))
+                                      else args.linger_ms),
+                           decode_cache=args.decode_cache)
     if args.warmup_k:
         service.warmup(args.warmup_k)
         print(json.dumps({"ready": True, "warmed_k": args.warmup_k}),

@@ -232,3 +232,44 @@ def test_handle_concurrent_coalesces(setup):
     assert "error" in r_err and "CLU" in r_err["error"]
     assert r_err["id"] == 9
     service.close()
+
+
+@pytest.mark.slow
+def test_decode_cache_and_stats(setup, tmp_path):
+    """Repeat requests hit the decoded-image LRU (the host-decode-bound
+    path's cache); {"cmd": "stats"} reports counters; mtime invalidates."""
+    import os
+    import shutil
+
+    cfg, variables, paths = setup
+    gt = str(tmp_path / "gt_copy.png")  # own copy: the test rewrites it
+    shutil.copyfile(paths["gt"], gt)
+    service = ScoreService(cfg, variables, group_batch=4, decode_cache=64)
+    req = {"gt": gt, "sr": [paths["sr_a"]]}
+    r1 = service.handle(dict(req))
+    r2 = service.handle(dict(req))
+    np.testing.assert_allclose(r1["scores"], r2["scores"], rtol=1e-6)
+
+    st = service.handle({"cmd": "stats"})
+    assert st["requests"] == 2
+    assert st["device_batches"] == 2
+    # 2 unique images on the first request; all 4 lookups of the second
+    # request hit.
+    assert st["decode_cache_misses"] == 2
+    assert st["decode_cache_hits"] == 2
+    assert st["decode_cache_entries"] == 2
+    assert st["warmed_k"] == [1]
+
+    # mtime invalidation: overwrite gt with different bytes -> miss.
+    shutil.copyfile(paths["sr_b"], gt)
+    os.utime(gt)
+    service.handle(dict(req))
+    st2 = service.handle({"cmd": "stats"})
+    assert st2["decode_cache_misses"] == 3
+    service.close()
+
+    off = ScoreService(cfg, variables, group_batch=4, decode_cache=0)
+    off.handle(dict(req))
+    st3 = off.handle({"cmd": "stats"})
+    assert st3["decode_cache_hits"] == 0 and st3["decode_cache_misses"] == 0
+    off.close()
