@@ -1046,8 +1046,10 @@ def main() -> None:
             req_paths.append(pth)
         req = {"gt": req_paths[0], "sr": req_paths[1:]}
 
+        # decode_cache=0: these lines measure the COLD file->score path
+        # (the bench reuses 6 files, which the default LRU would absorb).
         service = ScoreService(gcfg, jax.device_get(gvars), group_batch=8,
-                               mesh=mesh, num_workers=8)
+                               mesh=mesh, num_workers=8, decode_cache=0)
         service.warmup([5])
         for _ in range(3):
             service.handle(dict(req))
@@ -1100,6 +1102,28 @@ def main() -> None:
             "pairs_per_sec": round(total * 5 / dt, 1)}),
             file=sys.stderr, flush=True)
         service.close()
+
+        # Warm-path latency: repeat requests through the decoded-image
+        # LRU (the serving default) — what a client re-scoring the same
+        # GT/SR files actually sees.
+        cached = ScoreService(gcfg, jax.device_get(gvars), group_batch=8,
+                              mesh=mesh, num_workers=8)
+        cached.warmup([5])
+        for _ in range(3):
+            cached.handle(dict(req))
+        lat_c = []
+        for _ in range(30):
+            t0 = time.perf_counter()
+            cached.handle(dict(req))
+            lat_c.append(time.perf_counter() - t0)
+        lat_c = np.sort(np.array(lat_c)) * 1000.0
+        print(json.dumps({
+            "bench": "serve_latency_cached_decode",
+            "k": 5,
+            "p50_ms": round(float(lat_c[len(lat_c) // 2]), 2),
+            "requests_per_sec": round(1000.0 / float(np.mean(lat_c)), 1)}),
+            file=sys.stderr, flush=True)
+        cached.close()
     except _SkippedSection:
         pass
     except Exception as e:

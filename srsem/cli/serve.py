@@ -29,13 +29,15 @@ Serving mechanics (TPU-shaped):
   request): requests are scored by a :class:`GroupedPairScorer` so the GT
   tower pass is shared across the K SR pairs — (1+K)/(2K) of the dense
   tower passes (BENCH_NOTES.md).
-* The group batch G is FIXED (``--group-batch``): every device call is
-  padded to (G, K), so shapes are static and nothing recompiles at
-  request time.  Same-K requests arriving together are micro-batched into
-  one device call (up to G per call, ``--linger-ms`` collection window);
-  concurrent HTTP requests coalesce the same way through a dynamic
-  batcher (:meth:`ScoreService.handle_concurrent`) — N clients share
-  padded device calls instead of paying one padded call each.
+* Batch shapes are STATIC: device calls are padded to (G, K) with G from
+  a compiled power-of-two bucket ladder up to ``--group-batch`` — a lone
+  request runs the G=1 program instead of paying the full padded call,
+  full micro-batches use group_batch, and nothing recompiles at request
+  time.  Same-K requests arriving together are micro-batched into one
+  device call (``--linger-ms`` collection window); concurrent HTTP
+  requests coalesce the same way through a dynamic batcher
+  (:meth:`ScoreService.handle_concurrent`) — N clients share padded
+  device calls instead of paying one padded call each.
 * Host JPEG decode runs in a thread pool and is the expected bottleneck
   on small hosts; ``--fast-jpeg`` enables the DCT-scaled decode
   (srsem/native/decoder.cpp) for large SR outputs.
@@ -98,46 +100,73 @@ class ScoreService:
             "decode_cache_misses": 0,
         }
 
-    def scorer(self, k: int):
+    def _ladder(self) -> List[int]:
+        """Compiled batch-shape buckets: powers of two up to group_batch.
+
+        One fixed G makes a single request pay the full padded (G, K)
+        device call — G× the tower passes and host→device bytes it needs
+        (measured p50 128-134 ms at G=8 K=5 where the device work for one
+        request is ~5 ms).  Bucketing picks the smallest compiled shape
+        that fits the micro-batch; full batches still use group_batch.
+        On a mesh, buckets must shard evenly over the data axis.
+        """
+        ndev = self.mesh.shape.get("data", 1) if self.mesh is not None else 1
+        out, g = [], 1
+        while g < self.group_batch:
+            if g % ndev == 0:
+                out.append(g)
+            g *= 2
+        out.append(self.group_batch)
+        return out
+
+    def _pick_g(self, n: int) -> int:
+        for g in self._ladder():
+            if g >= n:
+                return g
+        return self.group_batch
+
+    def scorer(self, k: int, g: Optional[int] = None):
         from srsem.eval.grouped import GroupedPairScorer
 
+        g = g or self.group_batch
         with self._lock:
-            sc = self._scorers.get(k)
+            sc = self._scorers.get((k, g))
             if sc is None:
                 sc = GroupedPairScorer(
                     self.cfg, self.variables, k=k, mesh=self.mesh,
-                    batch_size=self.group_batch,
+                    batch_size=g,
                     num_workers=self.num_workers, fast_jpeg=self.fast_jpeg)
-                self._scorers[k] = sc
+                self._scorers[(k, g)] = sc
         return sc
 
-    def map_scorer(self, k: int):
+    def map_scorer(self, k: int, g: Optional[int] = None):
         from srsem.eval.grouped import GroupedMapScorer
 
         if self.map_cfg is None:
             raise RuntimeError(
                 "map requests need a CLU model — start the service with "
                 "map_cfg/map_variables (CLI: serve --with-maps)")
+        g = g or self.group_batch
         with self._lock:
-            sc = self._map_scorers.get(k)
+            sc = self._map_scorers.get((k, g))
             if sc is None:
                 sc = GroupedMapScorer(
                     self.map_cfg, self.map_variables, k=k, mesh=self.mesh,
-                    batch_size=self.group_batch, fast_jpeg=self.fast_jpeg)
-                self._map_scorers[k] = sc
+                    batch_size=g, fast_jpeg=self.fast_jpeg)
+                self._map_scorers[(k, g)] = sc
         return sc
 
     def warmup(self, ks: Sequence[int]) -> None:
-        """Compile the (G, K) programs before the first request."""
+        """Compile every ladder (G, K) program before the first request."""
         size = self.cfg.backbone.image_size
-        for k in ks:
-            sc = self.scorer(k)
-            g = sc.batch_size
-            gt = np.zeros((g, size, size, 3), np.uint8)
-            sr = np.zeros((g, k, size, size, 3), np.uint8)
-            import jax
+        import jax
 
-            jax.device_get(sc.score_arrays(gt, sr))
+        for k in ks:
+            for g in self._ladder():
+                sc = self.scorer(k, g)
+                gt = np.zeros((g, size, size, 3), np.uint8)
+                sr = np.zeros((g, k, size, size, 3), np.uint8)
+                jax.device_get(sc.score_arrays(gt, sr))
 
     def close(self) -> None:
         self._closed = True
@@ -277,25 +306,28 @@ class ScoreService:
                     self._decoded.popitem(last=False)
         return img
 
-    def _decoded_chunks(self, sc, requests: List[dict], k: int):
-        """Decode a same-K micro-batch (thread pool) and pack it into the
-        scorer's fixed (G, K) device shape.  Yields
-        ``(chunk_requests, gt, sr, ok, device_result)`` per padded chunk;
-        ``ok[i, m]`` is False where the GT or that SR failed to decode
-        (→ the NaN failure contract)."""
-        size = sc.preprocess.size
+    def _decoded_chunks(self, get_scorer, requests: List[dict], k: int):
+        """Decode a same-K micro-batch (thread pool) and pack it into
+        padded (G, K) device shapes, G picked per chunk from the compiled
+        bucket ladder (:meth:`_ladder`).  Yields ``(chunk_requests, ok,
+        device_result)`` per chunk; ``ok[i, m]`` is False where the GT or
+        that SR failed to decode (→ the NaN failure contract)."""
+        sc0 = get_scorer(self._pick_g(len(requests)))
+        size = sc0.preprocess.size
 
         flat: List[str] = []
         for r in requests:
             flat.append(r["gt"])
             flat.extend(r["sr"])
         decoded = list(self._pool.map(
-            lambda p: self._decode_cached(sc, p), flat))
+            lambda p: self._decode_cached(sc0, p), flat))
 
         import jax
 
-        g = sc.batch_size  # fixed G: the compiled shape
-        for start in range(0, len(requests), g):
+        start = 0
+        while start < len(requests):
+            g = self._pick_g(len(requests) - start)
+            sc = get_scorer(g)
             chunk = requests[start: start + g]
             gt = np.zeros((g, size, size, 3), np.uint8)
             sr = np.zeros((g, k, size, size, 3), np.uint8)
@@ -315,15 +347,16 @@ class ScoreService:
                 result = np.asarray(
                     jax.device_get(sc.score_arrays(gt, sr)), np.float32)
             yield chunk, ok, result
+            start += len(chunk)
 
     def score_requests(self, requests: List[dict]) -> List[dict]:
         """Score a same-K micro-batch in ONE padded device call."""
         with self._cache_lock:
             self.stats["requests"] += len(requests)
         k = len(requests[0]["sr"])
-        sc = self.scorer(k)
         out: List[dict] = []
-        for chunk, ok, scores in self._decoded_chunks(sc, requests, k):
+        for chunk, ok, scores in self._decoded_chunks(
+                lambda g: self.scorer(k, g), requests, k):
             scores = scores.copy()
             scores[~ok] = np.nan
             for i, r in enumerate(chunk):
@@ -343,10 +376,13 @@ class ScoreService:
         """
         import os
 
+        with self._cache_lock:
+            self.stats["requests"] += len(requests)
         k = len(requests[0]["sr"])
-        sc = self.map_scorer(k)
+        self.map_scorer(k, self._pick_g(len(requests)))  # CLU model check
         out: List[dict] = []
-        for chunk, ok, maps in self._decoded_chunks(sc, requests, k):
+        for chunk, ok, maps in self._decoded_chunks(
+                lambda g: self.map_scorer(k, g), requests, k):
             for i, r in enumerate(chunk):
                 means, mins, paths = [], [], []
                 maps_dir = r.get("maps_dir")
@@ -410,7 +446,7 @@ class ScoreService:
                 with self._cache_lock:
                     out = dict(self.stats)
                 out["decode_cache_entries"] = len(self._decoded)
-                out["warmed_k"] = sorted(self._scorers)
+                out["warmed_k"] = sorted({kk for kk, _g in self._scorers})
                 return out
             if req["cmd"] == "shutdown":
                 return {"ok": True, "shutdown": True}
