@@ -245,3 +245,48 @@ def test_compile_cache_and_fast_jpeg_flags(tmp_path):
     df2 = pd.read_csv(out2)
     np.testing.assert_allclose(df1["model0"].to_numpy(),
                                df2["model0"].to_numpy(), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_train_clu_thresholds_cli(tmp_path):
+    """`train-clu --thresholds none 0.5`: the threshold axis trained in
+    one run — per-point checkpoints land under
+    checkpoint_dir/threshold-T/ and restore through the standard loader
+    (srsem/train/multisweep.py::train_local_sweep_shared_tower)."""
+    import pickle
+
+    rng = np.random.default_rng(6)
+    rows = ["img_a_pth,img_b_pth,out_paths,ima_ncaps"]
+    for i in range(8):
+        a = tmp_path / f"hq_{i}.png"
+        b = tmp_path / f"sr_{i}.png"
+        arr = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(a)
+        Image.fromarray(np.clip(arr + rng.integers(-20, 20, arr.shape),
+                                0, 255).astype(np.uint8)).save(b)
+        pkl = tmp_path / f"map_{i}.pkl"
+        with open(pkl, "wb") as f:
+            pickle.dump(rng.uniform(size=(32, 32)).astype(np.float32), f)
+        rows.append(f"{a},{b},{pkl},4")
+    csv = tmp_path / "pairs.csv"
+    csv.write_text("\n".join(rows) + "\n")
+
+    ckpt_dir = tmp_path / "ckpts"
+    rc = main(["train-clu", str(csv), "--thresholds", "none", "0.5",
+               "--checkpoint-dir", str(ckpt_dir),
+               "--set", "backbone.image_size=64",
+               "--set", "backbone.compute_dtype=float32",
+               "--train-set", "epochs=1", "--train-set", "batch_size=8"])
+    assert rc == 0
+
+    from srsem.train.checkpoint import restore_checkpoint
+
+    for name in ("threshold-None", "threshold-0.5"):
+        restored = restore_checkpoint(str(ckpt_dir / name))
+        assert "batch_stats" in restored
+        assert "decoder.0" in restored["trainable"]
+
+    # conflicting fast paths rejected
+    with pytest.raises(SystemExit):
+        main(["train-clu", str(csv), "--thresholds", "none",
+              "--cached-diffs"])
