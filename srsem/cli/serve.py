@@ -82,10 +82,13 @@ class ScoreService:
         self.map_cfg = map_cfg
         self.map_variables = map_variables
         self.linger_ms = linger_ms
-        self.decode_cache = decode_cache
+        self.decode_cache = max(0, int(decode_cache))  # <=0 disables
         self._scorers: Dict[int, object] = {}
         self._map_scorers: Dict[int, object] = {}
+        self._dev_variables = None  # device-placed ONCE, shared by buckets
+        self._dev_map_variables = None
         self._lock = threading.Lock()
+        self._stats_lock = threading.Lock()
         self._pool = cf.ThreadPoolExecutor(max_workers=num_workers)
         self._batch_q: "queue.Queue" = queue.Queue()
         self._collector: Optional[threading.Thread] = None
@@ -99,6 +102,12 @@ class ScoreService:
             "batched_pairs": 0, "decode_cache_hits": 0,
             "decode_cache_misses": 0,
         }
+
+    def _count(self, key: str, n: int = 1) -> None:
+        """All counter mutations funnel through ONE lock — mixed-lock
+        read-modify-writes drop increments under concurrency."""
+        with self._stats_lock:
+            self.stats[key] += n
 
     def _ladder(self) -> List[int]:
         """Compiled batch-shape buckets: powers of two up to group_batch.
@@ -125,6 +134,24 @@ class ScoreService:
                 return g
         return self.group_batch
 
+    def _shared_variables(self, for_maps: bool):
+        """Variables device-placed ONCE (replicated over the resolved
+        mesh) and shared by every (K, G) bucket — each bucket's internal
+        ``device_put`` of an already-placed, identically-sharded tree is a
+        no-op, so the frozen tower lives in HBM once, not per bucket."""
+        import jax
+
+        from srsem.core.meshes import create_mesh, replicated_sharding
+
+        if self.mesh is None:
+            self.mesh = create_mesh()
+        attr = "_dev_map_variables" if for_maps else "_dev_variables"
+        if getattr(self, attr) is None:
+            src = self.map_variables if for_maps else self.variables
+            setattr(self, attr, jax.device_put(
+                src, replicated_sharding(self.mesh)))
+        return getattr(self, attr)
+
     def scorer(self, k: int, g: Optional[int] = None):
         from srsem.eval.grouped import GroupedPairScorer
 
@@ -133,8 +160,8 @@ class ScoreService:
             sc = self._scorers.get((k, g))
             if sc is None:
                 sc = GroupedPairScorer(
-                    self.cfg, self.variables, k=k, mesh=self.mesh,
-                    batch_size=g,
+                    self.cfg, self._shared_variables(False), k=k,
+                    mesh=self.mesh, batch_size=g,
                     num_workers=self.num_workers, fast_jpeg=self.fast_jpeg)
                 self._scorers[(k, g)] = sc
         return sc
@@ -151,13 +178,17 @@ class ScoreService:
             sc = self._map_scorers.get((k, g))
             if sc is None:
                 sc = GroupedMapScorer(
-                    self.map_cfg, self.map_variables, k=k, mesh=self.mesh,
-                    batch_size=g, fast_jpeg=self.fast_jpeg)
+                    self.map_cfg, self._shared_variables(True), k=k,
+                    mesh=self.mesh, batch_size=g,
+                    fast_jpeg=self.fast_jpeg)
                 self._map_scorers[(k, g)] = sc
         return sc
 
     def warmup(self, ks: Sequence[int]) -> None:
-        """Compile every ladder (G, K) program before the first request."""
+        """Compile every ladder (G, K) program — scoring AND (with a CLU
+        model) maps — before the first request.  Unwarmed K values still
+        work; their buckets compile lazily on first use (pair it with
+        ``srsem --compile-cache`` to make those stalls one-time)."""
         size = self.cfg.backbone.image_size
         import jax
 
@@ -167,6 +198,12 @@ class ScoreService:
                 gt = np.zeros((g, size, size, 3), np.uint8)
                 sr = np.zeros((g, k, size, size, 3), np.uint8)
                 jax.device_get(sc.score_arrays(gt, sr))
+                if self.map_cfg is not None:
+                    msize = self.map_cfg.backbone.image_size
+                    msc = self.map_scorer(k, g)
+                    jax.device_get(msc.score_arrays(
+                        np.zeros((g, msize, msize, 3), np.uint8),
+                        np.zeros((g, k, msize, msize, 3), np.uint8)))
 
     def close(self) -> None:
         self._closed = True
@@ -201,8 +238,7 @@ class ScoreService:
             return self.handle(req)
         norm = _normalize(req)
         if "error" in norm:
-            with self._cache_lock:
-                self.stats["errors"] += 1
+            self._count("errors")
             return norm
         if self._closed:
             out = {"error": "service closed"}
@@ -264,6 +300,7 @@ class ScoreService:
             try:
                 resps = fn([n for n, _ in items])
             except Exception as e:
+                self._count("errors", len(items))
                 resps = [{"error": str(e)[:300],
                           **({"id": n["id"]} if "id" in n else {})}
                          for n, _ in items]
@@ -278,29 +315,32 @@ class ScoreService:
         The path is host-decode-bound (BENCH_NOTES.md), and real serving
         traffic repeats images — the same GT scored against successive SR
         batches, retries, A/B re-requests.  The cache keys on
-        (path, mtime, size_px), so an overwritten file is a miss, never a
-        stale hit.  ``decode_cache=0`` disables."""
+        (path, mtime, preprocess identity): an overwritten file is a
+        miss, and the score and maps pipelines (different backbones →
+        different crop_pct) never poison each other's pixels.
+        ``decode_cache=0`` disables."""
         import os
 
-        size = sc.preprocess.size
+        pre = sc.preprocess
         key = None
-        if self.decode_cache:
+        if self.decode_cache > 0:
             try:
-                key = (str(path), os.stat(path).st_mtime_ns, size)
+                key = (str(path), os.stat(path).st_mtime_ns, pre.size,
+                       float(pre.crop_pct), int(pre.interpolation))
             except OSError:
                 return None
             with self._cache_lock:
                 if key in self._decoded:
                     self._decoded.move_to_end(key)
-                    self.stats["decode_cache_hits"] += 1
+                    self._count("decode_cache_hits")
                     return self._decoded[key]
         try:
-            img = sc.preprocess.decode_uint8(str(path))
+            img = pre.decode_uint8(str(path))
         except Exception:
             return None
         if key is not None:
+            self._count("decode_cache_misses")
             with self._cache_lock:
-                self.stats["decode_cache_misses"] += 1
                 self._decoded[key] = img
                 while len(self._decoded) > self.decode_cache:
                     self._decoded.popitem(last=False)
@@ -341,9 +381,9 @@ class ScoreService:
                         if im is not None:
                             sr[i, m] = im
                             ok[i, m] = True
+            self._count("device_batches")
+            self._count("batched_pairs", int(ok.sum()))
             with self._lock:
-                self.stats["device_batches"] += 1
-                self.stats["batched_pairs"] += int(ok.sum())
                 result = np.asarray(
                     jax.device_get(sc.score_arrays(gt, sr)), np.float32)
             yield chunk, ok, result
@@ -351,8 +391,7 @@ class ScoreService:
 
     def score_requests(self, requests: List[dict]) -> List[dict]:
         """Score a same-K micro-batch in ONE padded device call."""
-        with self._cache_lock:
-            self.stats["requests"] += len(requests)
+        self._count("requests", len(requests))
         k = len(requests[0]["sr"])
         out: List[dict] = []
         for chunk, ok, scores in self._decoded_chunks(
@@ -376,8 +415,7 @@ class ScoreService:
         """
         import os
 
-        with self._cache_lock:
-            self.stats["requests"] += len(requests)
+        self._count("requests", len(requests))
         k = len(requests[0]["sr"])
         self.map_scorer(k, self._pick_g(len(requests)))  # CLU model check
         out: List[dict] = []
@@ -443,25 +481,27 @@ class ScoreService:
             if req["cmd"] == "stats":
                 # Observability: request/error counters, device-call
                 # coalescing, decode-cache effectiveness.
-                with self._cache_lock:
+                with self._stats_lock:
                     out = dict(self.stats)
-                out["decode_cache_entries"] = len(self._decoded)
-                out["warmed_k"] = sorted({kk for kk, _g in self._scorers})
+                with self._cache_lock:
+                    out["decode_cache_entries"] = len(self._decoded)
+                with self._lock:  # scorer registries mutate under _lock
+                    out["warmed_k"] = sorted({kk for kk, _g in
+                                              self._scorers})
                 return out
             if req["cmd"] == "shutdown":
                 return {"ok": True, "shutdown": True}
             return {"error": f"unknown cmd {req['cmd']!r}"}
         norm = _normalize(req)
         if "error" in norm:
-            with self._cache_lock:
-                self.stats["errors"] += 1
+            self._count("errors")
             return norm
         try:
             if norm.get("maps"):
                 return self.map_requests([norm])[0]
             return self.score_requests([norm])[0]
         except Exception as e:  # one bad request must never kill the loop
-            self.stats["errors"] += 1
+            self._count("errors")
             out = {"error": str(e)[:300]}
             if "id" in norm:
                 out["id"] = norm["id"]
