@@ -738,6 +738,10 @@ def main() -> None:
             l = one_clu_step()
         jax.device_get(l)
         note("clu_cached_train_step", cb2 * 30 / (time.perf_counter() - t0))
+        del cached_diffs, cstate, ctr, copt, cstats, an2, bn2, cvars2
+        import gc
+
+        gc.collect()
     except _SkippedSection:
         pass
     except Exception as e:
@@ -760,7 +764,7 @@ def main() -> None:
                                            trainable_predicate)
         from srsem.train.steps import masked_mse
 
-        n_thr, cb3 = 3, 16
+        n_thr, cb3 = 3, 8
         ccfg3 = LocalModelConfig(
             backbone=BackboneConfig(kind="resnet50_clip", image_size=size,
                                     compute_dtype="bfloat16"))
@@ -863,6 +867,13 @@ def main() -> None:
             # image; the shared step does all 3 points at shared_rate.
             "vs_standalone_x": round(shared_rate / standalone_rate, 3)}),
             file=sys.stderr, flush=True)
+        # Free this section's ~5 GB of decoder params/Adam state + batches:
+        # later sections OOM'd on the leftovers in the first full run.
+        del trains, opts3, stats3, fr3, a3, b3, y3, m3, state3, sstate
+        del tr3, st3, cvars3
+        import gc
+
+        gc.collect()
     except _SkippedSection:
         pass
     except Exception as e:
@@ -1124,6 +1135,10 @@ def main() -> None:
             "requests_per_sec": round(1000.0 / float(np.mean(lat_c)), 1)}),
             file=sys.stderr, flush=True)
         cached.close()
+        del service, cached
+        import gc
+
+        gc.collect()
     except _SkippedSection:
         pass
     except Exception as e:
