@@ -689,6 +689,93 @@ def cmd_serve(args) -> int:
     return run_serve(args)
 
 
+def cmd_visualize(args) -> int:
+    """Render scoring artifacts to image files — the reference's notebook
+    plotting surface (additional_approaches/src/visual_utils.py:9-219) as a
+    CLI over srsem/explain/visual.py.  Kinds:
+
+    * ``overlay`` — blend a fidelity/cosine map (.npy from ``serve``/
+      ``score-maps-groups``, or a cosine-map .pkl) onto its image;
+    * ``grid``    — tile images (e.g. GT + the K SR outputs) into one PNG;
+    * ``heatmap`` — a similarity-matrix .npy as an annotated heatmap;
+    * ``splice``  — SpLiCE word-weight bars from a {word: weight} JSON
+      (``srsem.decompose.splice.weights2words`` output).
+
+    Headless by construction (matplotlib Agg)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+    from PIL import Image
+
+    from srsem.explain.visual import (overlay_cam, plot_image_grid,
+                                      plot_similarity_heatmap,
+                                      plot_splice_weights)
+
+    def _need(name: str) -> None:
+        if getattr(args, name.replace("-", "_"), None) in (None, []):
+            raise SystemExit(
+                f"visualize {args.kind}: --{name} is required")
+
+    def _load01(path: str) -> np.ndarray:
+        return np.asarray(Image.open(path).convert("RGB"),
+                          np.float32) / 255.0
+
+    def _load_map(path: str) -> np.ndarray:
+        if path.endswith(".pkl"):
+            import pickle
+
+            with open(path, "rb") as f:
+                m = np.asarray(pickle.load(f), np.float32)
+        else:
+            m = np.asarray(np.load(path), np.float32)
+        m = np.squeeze(m)
+        if m.ndim != 2:
+            raise SystemExit(f"map {path}: expected a 2-D map, got "
+                             f"shape {m.shape}")
+        lo, hi = float(m.min()), float(m.max())
+        if args.normalize or hi > 1.0 or lo < 0.0:
+            m = ((m - lo) / (hi - lo) if hi > lo
+                 else np.zeros_like(m))
+        return m
+
+    if args.kind == "overlay":
+        _need("image"), _need("map")
+        arr = overlay_cam(_load01(args.image), _load_map(args.map),
+                          alpha=args.alpha)
+        Image.fromarray(arr).save(args.out)
+    elif args.kind == "grid":
+        _need("images")
+        fig = plot_image_grid([_load01(p) for p in args.images],
+                              titles=args.titles, cols=args.cols)
+        fig.savefig(args.out, dpi=150)
+        plt.close(fig)
+    elif args.kind == "heatmap":
+        _need("matrix")
+        mat = np.atleast_2d(np.asarray(np.load(args.matrix), np.float32))
+        ax = plot_similarity_heatmap(mat, labels=args.labels,
+                                     title=args.title,
+                                     annotate=mat.size <= 400)
+        ax.figure.savefig(args.out, dpi=150, bbox_inches="tight")
+        plt.close(ax.figure)
+    else:  # splice
+        _need("json")
+        with open(args.json) as f:
+            weights = json.load(f)
+        items = (list(weights.items()) if isinstance(weights, dict)
+                 else [tuple(kv) for kv in weights])
+        items.sort(key=lambda kv: -abs(float(kv[1])))
+        items = items[: args.top]
+        ax = plot_splice_weights([w for w, _ in items],
+                                 [float(s) for _, s in items],
+                                 title=args.title or "SpLiCE decomposition")
+        ax.figure.savefig(args.out, dpi=150, bbox_inches="tight")
+        plt.close(ax.figure)
+    print(json.dumps({"kind": args.kind, "out": args.out}))
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="srsem")
     parser.add_argument(
@@ -1025,6 +1112,31 @@ def main(argv=None) -> int:
                         "differences vs the full decode")
     p.add_argument("--out-template", default="scores_{folder}.csv")
     p.set_defaults(fn=cmd_sweep_dataset)
+
+    p = sub.add_parser(
+        "visualize",
+        help="render artifacts: map overlays, image grids, similarity "
+             "heatmaps, SpLiCE weight bars (reference: visual_utils.py)")
+    p.add_argument("kind", choices=["overlay", "grid", "heatmap", "splice"])
+    p.add_argument("--out", required=True, help="output image path")
+    p.add_argument("--image", help="overlay: the image under the map")
+    p.add_argument("--map", help="overlay: .npy fidelity map or .pkl "
+                                 "cosine map")
+    p.add_argument("--alpha", type=float, default=0.5,
+                   help="overlay: heatmap blend weight")
+    p.add_argument("--normalize", action="store_true",
+                   help="overlay: min-max rescale the map to [0,1] "
+                        "(automatic when values fall outside [0,1])")
+    p.add_argument("--images", nargs="+", help="grid: image paths")
+    p.add_argument("--titles", nargs="+", help="grid: per-cell titles")
+    p.add_argument("--cols", type=int, default=4)
+    p.add_argument("--matrix", help="heatmap: .npy similarity matrix")
+    p.add_argument("--labels", nargs="+", help="heatmap: axis labels")
+    p.add_argument("--title", default="")
+    p.add_argument("--json", help="splice: {word: weight} JSON")
+    p.add_argument("--top", type=int, default=20,
+                   help="splice: keep the top-N |weight| words")
+    p.set_defaults(fn=cmd_visualize)
 
     args = parser.parse_args(argv)
     if args.compile_cache:

@@ -290,3 +290,57 @@ def test_train_clu_thresholds_cli(tmp_path):
     with pytest.raises(SystemExit):
         main(["train-clu", str(csv), "--thresholds", "none",
               "--cached-diffs"])
+
+
+def test_visualize_cli(tmp_path):
+    """All four `visualize` kinds render files headlessly: map overlay
+    (.npy and .pkl, out-of-range maps auto-normalized), image grid,
+    similarity heatmap, SpLiCE weight bars; missing per-kind args exit
+    with a message (reference surface: visual_utils.py:9-219)."""
+    import pickle
+
+    rng = np.random.default_rng(7)
+    img = tmp_path / "sr.png"
+    Image.fromarray(
+        rng.integers(0, 255, (32, 48, 3), dtype=np.uint8)).save(img)
+
+    fmap = tmp_path / "map.npy"
+    np.save(fmap, rng.random((8, 12), dtype=np.float32))
+    out = tmp_path / "overlay.png"
+    assert main(["visualize", "overlay", "--image", str(img),
+                 "--map", str(fmap), "--out", str(out)]) == 0
+    arr = np.asarray(Image.open(out))
+    assert arr.shape == (32, 48, 3)  # map resized onto the image
+
+    # cosine-map pickle with out-of-[0,1] values -> auto min-max rescale
+    pmap = tmp_path / "cos.pkl"
+    with open(pmap, "wb") as f:
+        pickle.dump(rng.normal(size=(1, 8, 12)).astype(np.float32), f)
+    out2 = tmp_path / "overlay2.png"
+    assert main(["visualize", "overlay", "--image", str(img),
+                 "--map", str(pmap), "--out", str(out2)]) == 0
+
+    grid = tmp_path / "grid.png"
+    assert main(["visualize", "grid", "--images", str(img), str(img),
+                 str(img), "--titles", "GT", "SR-a", "SR-b",
+                 "--cols", "3", "--out", str(grid)]) == 0
+    assert grid.stat().st_size > 0
+
+    mat = tmp_path / "sim.npy"
+    np.save(mat, rng.random((3, 3), dtype=np.float32))
+    heat = tmp_path / "heat.png"
+    assert main(["visualize", "heatmap", "--matrix", str(mat),
+                 "--labels", "a", "b", "c", "--title", "sim",
+                 "--out", str(heat)]) == 0
+    assert heat.stat().st_size > 0
+
+    wjson = tmp_path / "w.json"
+    wjson.write_text(json.dumps({"dog": 0.5, "cat": -0.2, "sky": 0.9}))
+    bars = tmp_path / "bars.png"
+    assert main(["visualize", "splice", "--json", str(wjson),
+                 "--top", "2", "--out", str(bars)]) == 0
+    assert bars.stat().st_size > 0
+
+    with pytest.raises(SystemExit):
+        main(["visualize", "overlay", "--image", str(img),
+              "--out", str(tmp_path / "x.png")])  # --map missing

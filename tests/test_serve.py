@@ -234,6 +234,51 @@ def test_handle_concurrent_coalesces(setup):
     service.close()
 
 
+def test_bucket_ladder_logic(setup):
+    """Compiled batch-shape buckets (ScoreService._ladder/_pick_g): powers
+    of two up to group_batch, mesh-divisible only; the smallest bucket that
+    fits each micro-batch is picked, full batches use group_batch."""
+    from srsem.core.meshes import create_mesh
+
+    cfg, variables, _ = setup
+    svc = ScoreService(cfg, variables, group_batch=8)
+    assert svc._ladder() == [1, 2, 4, 8]
+    assert [svc._pick_g(n) for n in (1, 2, 3, 5, 8, 20)] == [1, 2, 4, 8, 8, 8]
+    svc.close()
+
+    # Non-power-of-two group_batch: the top bucket is group_batch itself.
+    svc6 = ScoreService(cfg, variables, group_batch=6)
+    assert svc6._ladder() == [1, 2, 4, 6]
+    assert svc6._pick_g(5) == 6
+    svc6.close()
+
+    # On a data=4 mesh, buckets must shard evenly over the data axis.
+    mesh = create_mesh(data=4, model=1, devices=jax.devices("cpu")[:4])
+    svcm = ScoreService(cfg, variables, group_batch=8, mesh=mesh)
+    assert svcm._ladder() == [4, 8]
+    assert svcm._pick_g(1) == 4 and svcm._pick_g(5) == 8
+    svcm.close()
+
+
+@pytest.mark.slow
+def test_bucketed_single_request_matches_full_batch(setup):
+    """A lone request rides the smallest compiled bucket (G=1), not the
+    full padded group_batch shape, and scores identically; a 3-request
+    micro-batch picks G=4; the scorer registry keys on (K, G)."""
+    cfg, variables, paths = setup
+    service = ScoreService(cfg, variables, group_batch=4)
+    req = {"gt": paths["gt"], "sr": [paths["sr_a"]]}
+    r1 = service.handle(dict(req))
+    assert set(service._scorers) == {(1, 1)}  # G=1 bucket only
+
+    resps = service.score_requests([dict(req) for _ in range(3)])
+    assert set(service._scorers) == {(1, 1), (1, 4)}
+    for r in resps:
+        np.testing.assert_allclose(r["scores"], r1["scores"],
+                                   rtol=1e-5, atol=1e-6)
+    service.close()
+
+
 @pytest.mark.slow
 def test_decode_cache_and_stats(setup, tmp_path):
     """Repeat requests hit the decoded-image LRU (the host-decode-bound
