@@ -146,6 +146,15 @@ def test_serve_maps(setup, tmp_path):
     m = np.load(resp["maps"][0])
     assert m.ndim == 2 and np.isfinite(m).all()
 
+    # The written map renders through the visualize CLI (serve -> .npy ->
+    # overlay roundtrip — the artifact formats agree end to end).
+    from srsem.cli.main import main as cli_main
+
+    overlay = tmp_path / "overlay.png"
+    assert cli_main(["visualize", "overlay", "--image", paths["sr_a"],
+                     "--map", resp["maps"][0], "--out", str(overlay)]) == 0
+    assert np.asarray(Image.open(overlay)).shape == (64, 64, 3)
+
     score_only = ScoreService(cfg, variables, group_batch=4)
     r2 = score_only.handle({"gt": paths["gt"], "sr": paths["sr_a"],
                             "maps": True})
