@@ -47,13 +47,15 @@ class ViTBlock(nn.Module):
     heads: int
     dtype: Any = jnp.float32
     act: str = "gelu"
+    ln_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x: Array) -> Tuple[Array, Array]:
         dense = lambda name, feats: nn.Dense(  # noqa: E731
             feats, dtype=self.dtype, param_dtype=jnp.float32, name=name)
         ln = lambda name: nn.LayerNorm(  # noqa: E731
-            epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name=name)
+            epsilon=self.ln_eps, dtype=jnp.float32,
+            param_dtype=jnp.float32, name=name)
 
         n, t, c = x.shape
         head_dim = c // self.heads
@@ -88,6 +90,11 @@ class ClipViT(nn.Module):
     pos_grid: int = 14
     # "quick_gelu" for OpenAI CLIP checkpoints; "gelu" for timm/laion ones.
     act: str = "gelu"
+    # DeiT-style towers (ALBEF's visual encoder — reference
+    # additional_approaches/src/albef/vit.py:97-141) have NO pre-norm and
+    # use eps=1e-6 LayerNorms; CLIP-ViT defaults keep both as-is.
+    use_norm_pre: bool = True
+    ln_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x: Array, tap_offsets=None) -> Tuple[Array, Dict[str, Array]]:
@@ -120,13 +127,15 @@ class ClipViT(nn.Module):
             ).reshape(1, gh * gw, self.width)
             pos = jnp.concatenate([cls_pos, grid_pos], axis=1)
         tokens = tokens + pos.astype(self.dtype)
-        tokens = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
-                              param_dtype=jnp.float32, name="norm_pre")(tokens)
+        if self.use_norm_pre:
+            tokens = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32,
+                                  param_dtype=jnp.float32,
+                                  name="norm_pre")(tokens)
 
         for l in range(self.depth):
             x_attn, branch = ViTBlock(
                 self.width, self.heads, dtype=self.dtype, act=self.act,
-                name=f"blocks.{l}")(tokens)
+                ln_eps=self.ln_eps, name=f"blocks.{l}")(tokens)
             name = f"blocks.{l}.ls2"
             if tap_offsets and name in tap_offsets:
                 # Gradient-probe offset (srsem.explain.gradcam): the ls2
@@ -136,6 +145,6 @@ class ClipViT(nn.Module):
             taps[name] = branch
             tokens = x_attn + branch
 
-        tokens = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+        tokens = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32,
                               param_dtype=jnp.float32, name="norm")(tokens)
         return tokens[:, 0], taps

@@ -90,7 +90,8 @@ def cmd_convert(args) -> int:
     if kind == "resnet50":
         tree = cv.convert_torch_resnet50(sd)
     elif kind == "resnet50_clip":
-        tree = cv.convert_clip_resnet50(sd, image_size=args.image_size)
+        tree = cv.convert_clip_resnet50(
+            sd, image_size=args.image_size if args.image_size else 224)
     elif kind == "clip_vit":
         tree = cv.convert_clip_vit(sd)
     elif kind == "hf_clip_text":
@@ -101,6 +102,18 @@ def cmd_convert(args) -> int:
         tree = cv.convert_clip_text(sd)
     elif kind == "slip":
         tree = cv.convert_slip(sd)
+    elif kind == "albef":
+        # Full ALBEF retrieval/grounding checkpoint → {"vit",
+        # "vision_proj", "text", "text_proj"} trees for AlbefDualEncoder
+        # (reference: albef/model_wrapper.py:57-72; pos-embed
+        # bicubic-interpolated to the --image-size grid, default 384).
+        tree = cv.convert_albef(
+            sd, image_size=args.image_size if args.image_size else 384)
+    elif kind == "transalnet":
+        # Full TranSalNet-Dense checkpoint → {"params", "batch_stats"}
+        # trees for srsem.explain.saliency.TranSalNetDense (reference:
+        # additional_approaches/src/transalnet/TranSalNet_Dense.py).
+        tree = cv.convert_transalnet(sd)
     elif kind == "minilm":
         from srsem.pseudo.text_embed import convert_hf_minilm
 
@@ -697,11 +710,14 @@ def cmd_visualize(args) -> int:
     * ``overlay`` — blend a fidelity/cosine map (.npy from ``serve``/
       ``score-maps-groups``, or a cosine-map .pkl) onto its image;
     * ``grid``    — tile images (e.g. GT + the K SR outputs) into one PNG;
-    * ``heatmap`` — a similarity-matrix .npy as an annotated heatmap;
+    * ``heatmap`` — a similarity-matrix .npy/.pkl as an annotated heatmap;
     * ``splice``  — SpLiCE word-weight bars from a {word: weight} JSON
       (``srsem.decompose.splice.weights2words`` output).
 
-    Headless by construction (matplotlib Agg)."""
+    Headless by construction (matplotlib Agg) and device-free: nothing on
+    this path imports jax, so the command never claims the TPU behind a
+    running serve/bench (the map resize is pure numpy,
+    srsem/explain/visual.py:_resize_bilinear_np)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -722,23 +738,36 @@ def cmd_visualize(args) -> int:
         return np.asarray(Image.open(path).convert("RGB"),
                           np.float32) / 255.0
 
-    def _load_map(path: str) -> np.ndarray:
+    def _load_array(path: str) -> np.ndarray:
+        """.npy or .pkl → float32 array (maps and similarity matrices are
+        emitted in both formats by the pipelines)."""
         if path.endswith(".pkl"):
             import pickle
 
             with open(path, "rb") as f:
-                m = np.asarray(pickle.load(f), np.float32)
-        else:
-            m = np.asarray(np.load(path), np.float32)
-        m = np.squeeze(m)
+                return np.asarray(pickle.load(f), np.float32)
+        if path.endswith(".npy"):
+            return np.asarray(np.load(path), np.float32)
+        raise SystemExit(f"{path}: unsupported extension (expected .npy "
+                         f"or .pkl)")
+
+    def _load_map(path: str) -> np.ndarray:
+        m = np.squeeze(_load_array(path))
         if m.ndim != 2:
             raise SystemExit(f"map {path}: expected a 2-D map, got "
                              f"shape {m.shape}")
         lo, hi = float(m.min()), float(m.max())
-        if args.normalize or hi > 1.0 or lo < 0.0:
-            m = ((m - lo) / (hi - lo) if hi > lo
-                 else np.zeros_like(m))
-        return m
+        if args.normalize:
+            return ((m - lo) / (hi - lo) if hi > lo else np.zeros_like(m))
+        # Tiny float overshoots (e.g. a sigmoid map saved as 1.0000001)
+        # are clipped, not rescaled — a silent min-max remap would change
+        # the rendered contrast of an effectively-[0,1] map.
+        if -1e-3 <= lo and hi <= 1.0 + 1e-3:
+            return np.clip(m, 0.0, 1.0)
+        print(f"visualize: map {path} has range [{lo:g}, {hi:g}] — "
+              f"min-max rescaling to [0,1] (pass --normalize to silence)",
+              file=sys.stderr)
+        return ((m - lo) / (hi - lo) if hi > lo else np.zeros_like(m))
 
     if args.kind == "overlay":
         _need("image"), _need("map")
@@ -753,7 +782,7 @@ def cmd_visualize(args) -> int:
         plt.close(fig)
     elif args.kind == "heatmap":
         _need("matrix")
-        mat = np.atleast_2d(np.asarray(np.load(args.matrix), np.float32))
+        mat = np.atleast_2d(_load_array(args.matrix))
         ax = plot_similarity_heatmap(mat, labels=args.labels,
                                      title=args.title,
                                      annotate=mat.size <= 400)
@@ -1076,14 +1105,16 @@ def main(argv=None) -> int:
     p.add_argument("--kind", required=True,
                    choices=["resnet50", "resnet50_clip", "clip_vit",
                             "hf_clip_text", "hf_clip_vit", "clip_text",
-                            "slip", "minilm", "lpips",
-                            "global_head", "clu_decoder"])
+                            "slip", "minilm", "lpips", "transalnet",
+                            "albef", "global_head", "clu_decoder"])
     p.add_argument("--shared-head", action="store_true",
                    help="for global_head: the checkpoint is the singleLin "
                         "shared ViT head (w_layer Sequential) rather than "
                         "a per-layer w_layers ModuleList")
-    p.add_argument("--image-size", type=int, default=224,
-                   help="for resnet50_clip: attnpool grid size")
+    p.add_argument("--image-size", type=int, default=0,
+                   help="for resnet50_clip: attnpool grid size (default "
+                        "224); for albef: the pos-embed target resolution "
+                        "(default 384)")
     p.add_argument("--tower", default=None,
                    help="for lpips: the AlexNet/VGG16 feature state dict")
     p.add_argument("--lpips-net", default="alex", choices=["alex", "vgg"])

@@ -76,7 +76,22 @@ class ScoreService:
         self.cfg = cfg
         self.variables = variables
         self.group_batch = group_batch
-        self.mesh = mesh
+        # The mesh is resolved EAGERLY: bucket-ladder shapes depend on the
+        # data-axis size, so it must never change after construction
+        # (round-3 bug: a lazily resolved mesh flipped `_ladder` between
+        # the first `_pick_g` and the first scorer build, making the same
+        # request ride two different buckets).  ``mesh=None`` means
+        # single-device — a 1x1 mesh over the first device — NOT a mesh
+        # over every visible device; multi-chip callers pass their mesh.
+        self.mesh = mesh if mesh is not None else self._single_device_mesh()
+        ndev = self.mesh.shape.get("data", 1)
+        if group_batch % ndev != 0:
+            raise ValueError(
+                f"group_batch={group_batch} does not shard evenly over the "
+                f"data={ndev} mesh axis — every compiled (G, K) bucket must "
+                f"be mesh-divisible; round group_batch up to a multiple of "
+                f"{ndev}")
+        self._buckets = self._build_ladder()
         self.num_workers = num_workers
         self.fast_jpeg = fast_jpeg
         self.map_cfg = map_cfg
@@ -109,7 +124,15 @@ class ScoreService:
         with self._stats_lock:
             self.stats[key] += n
 
-    def _ladder(self) -> List[int]:
+    @staticmethod
+    def _single_device_mesh():
+        import jax
+
+        from srsem.core.meshes import create_mesh
+
+        return create_mesh(data=1, model=1, devices=jax.devices()[:1])
+
+    def _build_ladder(self) -> List[int]:
         """Compiled batch-shape buckets: powers of two up to group_batch.
 
         One fixed G makes a single request pay the full padded (G, K)
@@ -117,9 +140,11 @@ class ScoreService:
         (measured p50 128-134 ms at G=8 K=5 where the device work for one
         request is ~5 ms).  Bucketing picks the smallest compiled shape
         that fits the micro-batch; full batches still use group_batch.
-        On a mesh, buckets must shard evenly over the data axis.
+        On a mesh, buckets must shard evenly over the data axis —
+        ``__init__`` rejects a non-mesh-divisible group_batch outright, so
+        the top bucket is always valid.
         """
-        ndev = self.mesh.shape.get("data", 1) if self.mesh is not None else 1
+        ndev = self.mesh.shape.get("data", 1)
         out, g = [], 1
         while g < self.group_batch:
             if g % ndev == 0:
@@ -128,23 +153,28 @@ class ScoreService:
         out.append(self.group_batch)
         return out
 
+    def _ladder(self) -> List[int]:
+        return self._buckets
+
     def _pick_g(self, n: int) -> int:
-        for g in self._ladder():
+        """Smallest compiled bucket that fits ``n``; for ``n`` beyond the
+        top bucket, returns group_batch — callers (``_decoded_chunks``)
+        chunk oversize micro-batches into successive group_batch calls."""
+        for g in self._buckets:
             if g >= n:
                 return g
         return self.group_batch
 
     def _shared_variables(self, for_maps: bool):
-        """Variables device-placed ONCE (replicated over the resolved
-        mesh) and shared by every (K, G) bucket — each bucket's internal
-        ``device_put`` of an already-placed, identically-sharded tree is a
-        no-op, so the frozen tower lives in HBM once, not per bucket."""
+        """Variables device-placed ONCE (replicated over the mesh resolved
+        at construction) and shared by every (K, G) bucket — each bucket's
+        internal ``device_put`` of an already-placed, identically-sharded
+        tree is a no-op, so the frozen tower lives in HBM once, not per
+        bucket."""
         import jax
 
-        from srsem.core.meshes import create_mesh, replicated_sharding
+        from srsem.core.meshes import replicated_sharding
 
-        if self.mesh is None:
-            self.mesh = create_mesh()
         attr = "_dev_map_variables" if for_maps else "_dev_variables"
         if getattr(self, attr) is None:
             src = self.map_variables if for_maps else self.variables

@@ -146,6 +146,10 @@ class TrainConfig:
     val_fraction: float = 0.2
     mesh: MeshConfig = field(default_factory=MeshConfig)
     checkpoint_dir: Optional[str] = None
+    # Retention: keep the newest N per-epoch checkpoints (None = keep all,
+    # the reference's per-epoch torch.save behavior — every step_N file
+    # accumulates).  Resumable training needs only the latest.
+    checkpoint_keep_last: Optional[int] = 3
     log_every: int = 1  # batches between metric-writer calls
     # Loss-label binarization threshold for cosine maps; None = raw maps
     # (reference: datasets/local_eval_torch_ds.py:35-37).

@@ -35,6 +35,19 @@ from srsem.backbones.vit import ClipViT
 from srsem.pseudo.text_embed import MiniLMEncoder
 
 
+def _as_proj(proj):
+    """Accept a bare (in, out) matrix, a {"kernel","bias"} dict (the
+    convert_albef layout), or a (kernel, bias) pair → (kernel, bias)."""
+    if isinstance(proj, dict):
+        return (jnp.asarray(proj["kernel"], jnp.float32),
+                jnp.asarray(proj["bias"], jnp.float32))
+    if isinstance(proj, (tuple, list)):
+        return (jnp.asarray(proj[0], jnp.float32),
+                jnp.asarray(proj[1], jnp.float32))
+    w = jnp.asarray(proj, jnp.float32)
+    return w, jnp.zeros((w.shape[-1],), jnp.float32)
+
+
 class SlipDualEncoder:
     """SLIP ViT-B/16 joint space (512-d)."""
 
@@ -67,23 +80,38 @@ class SlipDualEncoder:
 
 
 class AlbefDualEncoder:
-    """ALBEF unimodal joint space (256-d): ViT CLS → vision_proj, BERT CLS →
-    text_proj (reference: albef/model_wrapper.py:83-172)."""
+    """ALBEF unimodal joint space (256-d): image = L2-normalized
+    ``vision_proj(ViT CLS)``, text = L2-normalized ``text_proj(BERT CLS)``
+    (reference: albef/model_wrapper.py:93-97, 106-110 — both projections
+    are biased Linears followed by ``F.normalize``).
 
-    def __init__(self, vit_variables, vision_proj: np.ndarray,
-                 bert_variables=None, text_proj: Optional[np.ndarray] = None,
+    ``vit`` defaults to ALBEF's deit-style tower (no pre-norm, eps 1e-6,
+    24×24 pos grid for 384px inputs — reference albef/vit.py:97-141);
+    ``bert`` to a 12-layer BERT-base in CLS-pool mode.  Build the
+    argument trees with srsem.utils.convert.convert_albef (wired through
+    ``srsem convert --kind albef``)."""
+
+    def __init__(self, vit_variables, vision_proj,
+                 bert_variables=None, text_proj=None,
                  tokenizer=None, vit: Optional[ClipViT] = None,
                  bert: Optional[MiniLMEncoder] = None):
-        self.vit = vit or ClipViT()
+        self.vit = vit or ClipViT(use_norm_pre=False, ln_eps=1e-6,
+                                  pos_grid=24, act="gelu",
+                                  dtype=jnp.float32)
         self.vit_variables = vit_variables
-        self.vision_proj = jnp.asarray(vision_proj, jnp.float32)
-        self.bert = bert or MiniLMEncoder()
+        self.vision_proj = _as_proj(vision_proj)
+        self.bert = bert or MiniLMEncoder(hidden=768, layers=12, heads=12,
+                                          intermediate=3072, pool="cls")
         self.bert_variables = bert_variables
-        self.text_proj = (jnp.asarray(text_proj, jnp.float32)
-                          if text_proj is not None else None)
+        self.text_proj = _as_proj(text_proj) if text_proj is not None else None
         self.tokenizer = tokenizer
-        self._encode_img = jax.jit(
-            lambda v, x: self.vit.apply(v, x)[0] @ self.vision_proj)
+
+        def encode_img(v, x):
+            w, b = self.vision_proj
+            emb = self.vit.apply(v, x)[0] @ w + b
+            return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+
+        self._encode_img = jax.jit(encode_img)
 
     def encode_image(self, pixels) -> jax.Array:
         return self._encode_img(self.vit_variables, jnp.asarray(pixels))
@@ -95,4 +123,8 @@ class AlbefDualEncoder:
         emb = self.bert.apply({"params": self.bert_variables},
                               jnp.asarray(tok["input_ids"]),
                               jnp.asarray(tok["attention_mask"]))
-        return emb @ self.text_proj if self.text_proj is not None else emb
+        if self.text_proj is None:
+            return emb
+        w, b = self.text_proj
+        emb = emb @ w + b
+        return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)

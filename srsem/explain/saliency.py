@@ -32,6 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from srsem.ops.batchnorm import TorchBatchNorm
+
 Array = jax.Array
 
 
@@ -43,12 +45,12 @@ class DenseLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool) -> Array:
-        h = nn.BatchNorm(use_running_average=not train, epsilon=1e-5,
+        h = TorchBatchNorm(use_running_average=not train, epsilon=1e-5,
                          momentum=0.9, name="norm1")(x)
         h = nn.relu(h)
         h = nn.Conv(4 * self.growth, (1, 1), use_bias=False,
                     dtype=self.dtype, name="conv1")(h)
-        h = nn.BatchNorm(use_running_average=not train, epsilon=1e-5,
+        h = TorchBatchNorm(use_running_average=not train, epsilon=1e-5,
                          momentum=0.9, name="norm2")(h)
         h = nn.relu(h)
         h = nn.Conv(self.growth, (3, 3), padding=((1, 1), (1, 1)),
@@ -72,7 +74,7 @@ class Transition(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool) -> Array:
-        x = nn.BatchNorm(use_running_average=not train, epsilon=1e-5,
+        x = TorchBatchNorm(use_running_average=not train, epsilon=1e-5,
                          momentum=0.9, name="norm")(x)
         x = nn.relu(x)
         x = nn.Conv(self.out_ch, (1, 1), use_bias=False, name="conv")(x)
@@ -86,7 +88,7 @@ class DenseNet161Features(nn.Module):
     def __call__(self, x: Array, train: bool = False) -> Tuple[Array, Array, Array]:
         x = nn.Conv(96, (7, 7), (2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, name="conv0")(x)
-        x = nn.BatchNorm(use_running_average=not train, epsilon=1e-5,
+        x = TorchBatchNorm(use_running_average=not train, epsilon=1e-5,
                          momentum=0.9, name="norm0")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
@@ -165,7 +167,7 @@ class TranSalNetDense(nn.Module):
         def conv_bn_relu(h, ch, name):
             h = nn.Conv(ch, (3, 3), padding=((1, 1), (1, 1)),
                         name=f"{name}_conv")(h)
-            h = nn.BatchNorm(use_running_average=not train, epsilon=1e-5,
+            h = TorchBatchNorm(use_running_average=not train, epsilon=1e-5,
                              momentum=0.9, name=f"{name}_bn")(h)
             return nn.relu(h)
 

@@ -15,6 +15,32 @@ from typing import List, Optional, Sequence
 import numpy as np
 
 
+def _resize_bilinear_np(m: np.ndarray, out_hw) -> np.ndarray:
+    """Pure-numpy half-pixel bilinear resize of a 2-D map — numerically
+    the same convention as srsem.ops.image.resize_bilinear
+    (align_corners=False), but with NO jax import: the visualization path
+    must never initialize a device backend (on the deployment host the
+    default backend is the single TPU behind the axon relay, and a
+    plotting CLI grabbing the chip can hang behind a serve/bench claim).
+    """
+    out_h, out_w = out_hw
+    m = np.asarray(m, np.float32)
+
+    def axis(out_size: int, in_size: int):
+        idx = np.arange(out_size, dtype=np.float32)
+        coords = np.clip((idx + 0.5) * (in_size / out_size) - 0.5,
+                         0.0, float(in_size - 1))
+        lo = np.clip(np.floor(coords).astype(np.int64), 0, in_size - 1)
+        hi = np.clip(lo + 1, 0, in_size - 1)
+        return lo, hi, coords - lo
+
+    lo, hi, fr = axis(out_h, m.shape[0])
+    m = m[lo] * (1.0 - fr)[:, None] + m[hi] * fr[:, None]
+    lo, hi, fr = axis(out_w, m.shape[1])
+    m = m[:, lo] * (1.0 - fr)[None, :] + m[:, hi] * fr[None, :]
+    return m
+
+
 def overlay_cam(image01: np.ndarray, cam01: np.ndarray,
                 alpha: float = 0.5) -> np.ndarray:
     """Blend a [0,1] CAM onto a [0,1] HWC image with the jet colormap →
@@ -22,10 +48,7 @@ def overlay_cam(image01: np.ndarray, cam01: np.ndarray,
     from matplotlib import cm
 
     if cam01.shape != image01.shape[:2]:
-        from srsem.ops.image import resize_bilinear
-
-        cam01 = np.asarray(resize_bilinear(
-            cam01[None, ..., None], image01.shape[:2]))[0, ..., 0]
+        cam01 = _resize_bilinear_np(cam01, image01.shape[:2])
     heat = cm.jet(np.clip(cam01, 0, 1))[..., :3]
     blended = (1 - alpha) * np.clip(image01, 0, 1) + alpha * heat
     return (blended * 255).astype(np.uint8)

@@ -51,6 +51,7 @@ from srsem.backbones.resnet import (
     ImageNetResNet50,
 )
 from srsem.core.config import LocalModelConfig
+from srsem.ops.batchnorm import TorchBatchNorm
 from srsem.ops.image import resize_bilinear_mxu, upsample_x2_align_corners
 
 Array = jax.Array
@@ -112,17 +113,19 @@ class DecoderBlock(nn.Module):
     def __call__(self, x, train: bool) -> Array:
         d, u = x if isinstance(x, tuple) else (x, None)
         x = _ConcatConv(self.mid, dtype=self.dtype, name="conv1")(d, u)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32,
-                         param_dtype=jnp.float32, name="bn1")(x)
+        # TorchBatchNorm, not flax BN: the decoder is TRAINED, and torch's
+        # running-var update is Bessel-corrected (srsem/ops/batchnorm.py).
+        x = TorchBatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, dtype=jnp.float32,
+                           param_dtype=jnp.float32, name="bn1")(x)
         x = nn.relu(x).astype(self.dtype)
         k = self.final_kernel
         x = nn.Conv(self.out, (k, k), padding="SAME", kernel_init=_conv_init,
                     dtype=self.dtype, param_dtype=jnp.float32, name="conv2")(x)
         if self.final_bn:
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=jnp.float32,
-                             param_dtype=jnp.float32, name="bn2")(x)
+            x = TorchBatchNorm(use_running_average=not train, momentum=0.9,
+                               epsilon=1e-5, dtype=jnp.float32,
+                               param_dtype=jnp.float32, name="bn2")(x)
         # Stay in the decoder compute dtype between blocks: in bf16 serving
         # mode the upsample/concat traffic halves (the f32 parity default is
         # unchanged — dtype is f32 there).

@@ -68,6 +68,10 @@ class MiniLMEncoder(nn.Module):
     heads: int = 12
     intermediate: int = 1536
     max_position: int = 512
+    # "mean": MiniLM's masked mean-pool + L2 norm.  "cls": the raw [CLS]
+    # hidden state — BERT-base towers that project/normalize downstream
+    # (ALBEF text_feat[:, 0, :], reference albef/model_wrapper.py:93-97).
+    pool: str = "mean"
 
     @nn.compact
     def __call__(self, input_ids: Array, attention_mask: Array) -> Array:
@@ -85,6 +89,8 @@ class MiniLMEncoder(nn.Module):
         for i in range(self.layers):
             x = BertLayer(self.hidden, self.heads, self.intermediate,
                           name=f"encoder.layer.{i}")(x, attention_mask)
+        if self.pool == "cls":
+            return x[:, 0]
         m = attention_mask[..., None].astype(jnp.float32)
         pooled = jnp.sum(x * m, axis=1) / jnp.clip(jnp.sum(m, axis=1), 1e-9)
         return pooled / jnp.linalg.norm(pooled, axis=-1, keepdims=True)

@@ -20,9 +20,16 @@ import jax
 from flax import serialization
 
 
-def save_checkpoint(directory: str, step: int, tree: Dict[str, Any]) -> str:
+def save_checkpoint(directory: str, step: int, tree: Dict[str, Any],
+                    keep_last: Optional[int] = None) -> str:
     """Write ``tree`` (any pytree of arrays) to ``directory/step_N.msgpack``
-    and update ``latest.json``.  Returns the checkpoint path."""
+    and update ``latest.json``.  Returns the checkpoint path.
+
+    ``keep_last``: retention policy — after a successful write, delete all
+    but the newest N ``step_*.msgpack`` files (None = keep everything, the
+    reference's per-epoch torch.save behavior).  Pruning never touches the
+    file just written and only runs after ``latest.json`` points at it, so
+    a crash mid-prune can't lose the newest checkpoint."""
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, f"step_{step}.msgpack")
     tree = jax.device_get(tree)
@@ -30,6 +37,16 @@ def save_checkpoint(directory: str, step: int, tree: Dict[str, Any]) -> str:
         f.write(serialization.to_bytes(tree))
     with open(os.path.join(directory, "latest.json"), "w") as f:
         json.dump({"step": step, "path": path}, f)
+    if keep_last is not None and keep_last > 0:
+        steps = sorted(
+            int(name[len("step_"):-len(".msgpack")])
+            for name in os.listdir(directory)
+            if name.startswith("step_") and name.endswith(".msgpack")
+            and name[len("step_"):-len(".msgpack")].isdigit())
+        for old in steps[:-keep_last]:
+            if old != step:
+                os.remove(os.path.join(directory,
+                                       f"step_{old}.msgpack"))
     return path
 
 

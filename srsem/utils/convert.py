@@ -33,7 +33,12 @@ from flax import traverse_util
 def _np(v) -> np.ndarray:
     if hasattr(v, "detach"):
         v = v.detach().cpu().numpy()
-    return np.asarray(v, np.float32)
+    # Always COPY: ``np.asarray`` on an already-float32 torch buffer returns
+    # a VIEW of torch's storage, so a later in-place torch mutation (an
+    # optimizer step, a BatchNorm running-stat update) would silently change
+    # the "converted" jax-side init — exactly the aliasing that broke the
+    # train-parity harness (tests/test_train_parity.py).
+    return np.array(v, np.float32, copy=True)
 
 
 def _conv(w) -> np.ndarray:
@@ -418,3 +423,200 @@ def convert_clu_decoder(sd: Mapping[str, Any]) -> Dict:
         params[f"decoder.{lvl}"] = block
         stats[f"decoder.{lvl}"] = bstats
     return {"params": params, "batch_stats": stats}
+
+
+def _bn_split(params: Dict, stats: Dict, path: tuple, sd: Mapping,
+              prefix: str) -> None:
+    """BatchNorm with trainable running stats (TorchBatchNorm layout):
+    weight/bias → params, running stats → the batch_stats collection."""
+    params[path + ("scale",)] = _np(sd[f"{prefix}.weight"])
+    params[path + ("bias",)] = _np(sd[f"{prefix}.bias"])
+    stats[path + ("mean",)] = _np(sd[f"{prefix}.running_mean"])
+    stats[path + ("var",)] = _np(sd[f"{prefix}.running_var"])
+
+
+def _linear(params: Dict, path: tuple, sd: Mapping, prefix: str) -> None:
+    params[path + ("kernel",)] = _np(sd[f"{prefix}.weight"]).T
+    params[path + ("bias",)] = _np(sd[f"{prefix}.bias"])
+
+
+def _layernorm(params: Dict, path: tuple, sd: Mapping, prefix: str) -> None:
+    params[path + ("scale",)] = _np(sd[f"{prefix}.weight"])
+    params[path + ("bias",)] = _np(sd[f"{prefix}.bias"])
+
+
+def convert_transalnet(sd: Mapping[str, Any]) -> Dict:
+    """Reference TranSalNet-Dense checkpoint → TranSalNetDense trees.
+
+    Maps the reference's full ``TranSalNet().state_dict()`` (reference:
+    additional_approaches/src/transalnet/TranSalNet_Dense.py:44-143,
+    utils/densenet.py, utils/TransformerEncoder.py) onto
+    srsem.explain.saliency.TranSalNetDense:
+
+    * ``encoder.encoder.{i}`` — the densenet161 ``features`` children
+      minus the final norm5 (TranSalNet_Dense.py:57-70): ModuleList index
+      0 = conv0, 1 = norm0, 4/6/8/10 = denseblock1-4 (each
+      ``denselayer{n}.{norm1,conv1,norm2,conv2}``), 5/7/9 =
+      transition1-3 (``norm``/``conv``);
+    * ``decoder.conv{k}``/``decoder.batchnorm{k}`` → ``d{k}_conv`` /
+      ``d{k}_bn`` (k = 1..6; conv7 → d7_conv, no BN);
+    * ``decoder.TransEncoder{k}`` → ``TransEncoder{k}``: 1×1
+      patch_embeddings conv, (1, T, hidden) position_embeddings, and
+      2 transformer blocks whose separate query/key/value Linears fuse
+      into the flax ``attn_qkv`` kernel (concat along the output axis in
+      q,k,v order — the (3, heads, head_dim) reshape in
+      srsem/explain/saliency.py::SaliencyTransBlock reads it back in the
+      same layout torch's ``transpose_for_scores`` uses).
+
+    Returns ``{"params": ..., "batch_stats": ...}`` — batch_stats carries
+    every BatchNorm's running stats (the model trains BN in train mode,
+    TranSalNet_Dense.py fine-tuning; srsem/ops/batchnorm.py).
+    """
+    params: Dict[tuple, np.ndarray] = {}
+    stats: Dict[tuple, np.ndarray] = {}
+
+    # --- DenseNet-161 encoder (ModuleList indices → named modules) ---
+    enc = "encoder.encoder"
+    params[("encoder", "conv0", "kernel")] = _conv(sd[f"{enc}.0.weight"])
+    _bn_split(params, stats, ("encoder", "norm0"), sd, f"{enc}.1")
+    block_layers = {1: 6, 2: 12, 3: 36, 4: 24}
+    for b, idx in ((1, 4), (2, 6), (3, 8), (4, 10)):
+        for n in range(1, block_layers[b] + 1):
+            tp = f"{enc}.{idx}.denselayer{n}"
+            jp = ("encoder", f"denseblock{b}", f"denselayer{n}")
+            _bn_split(params, stats, jp + ("norm1",), sd, f"{tp}.norm1")
+            params[jp + ("conv1", "kernel")] = _conv(sd[f"{tp}.conv1.weight"])
+            _bn_split(params, stats, jp + ("norm2",), sd, f"{tp}.norm2")
+            params[jp + ("conv2", "kernel")] = _conv(sd[f"{tp}.conv2.weight"])
+    for t, idx in ((1, 5), (2, 7), (3, 9)):
+        tp = f"{enc}.{idx}"
+        jp = ("encoder", f"transition{t}")
+        _bn_split(params, stats, jp + ("norm",), sd, f"{tp}.norm")
+        params[jp + ("conv", "kernel")] = _conv(sd[f"{tp}.conv.weight"])
+
+    # --- Transformer encoders ---
+    for k in (1, 2, 3):
+        tp = f"decoder.TransEncoder{k}"
+        jp = (f"TransEncoder{k}",)
+        params[jp + ("patch_embeddings", "kernel")] = _conv(
+            sd[f"{tp}.patch_embeddings.weight"])
+        params[jp + ("patch_embeddings", "bias")] = _np(
+            sd[f"{tp}.patch_embeddings.bias"])
+        params[jp + ("position_embeddings",)] = _np(
+            sd[f"{tp}.position_embeddings"])
+        for i in range(2):
+            lp = f"{tp}.transformer_encoder.layer.{i}"
+            ljp = jp + (f"layer{i}",)
+            _layernorm(params, ljp + ("attention_norm",), sd,
+                       f"{lp}.attention_norm")
+            qkv_w = np.concatenate(
+                [_np(sd[f"{lp}.attn.{m}.weight"]).T
+                 for m in ("query", "key", "value")], axis=1)
+            qkv_b = np.concatenate(
+                [_np(sd[f"{lp}.attn.{m}.bias"])
+                 for m in ("query", "key", "value")])
+            params[ljp + ("attn_qkv", "kernel")] = qkv_w
+            params[ljp + ("attn_qkv", "bias")] = qkv_b
+            _linear(params, ljp + ("attn_out",), sd, f"{lp}.attn.out")
+            _layernorm(params, ljp + ("ffn_norm",), sd, f"{lp}.ffn_norm")
+            _linear(params, ljp + ("ffn_fc1",), sd, f"{lp}.ffn.fc1")
+            _linear(params, ljp + ("ffn_fc2",), sd, f"{lp}.ffn.fc2")
+        _layernorm(params, jp + ("encoder_norm",), sd,
+                   f"{tp}.transformer_encoder.encoder_norm")
+
+    # --- Decoder convs + BNs ---
+    for k in range(1, 7):
+        params[(f"d{k}_conv", "kernel")] = _conv(sd[f"decoder.conv{k}.weight"])
+        params[(f"d{k}_conv", "bias")] = _np(sd[f"decoder.conv{k}.bias"])
+        _bn_split(params, stats, (f"d{k}_bn",), sd, f"decoder.batchnorm{k}")
+    params[("d7_conv", "kernel")] = _conv(sd["decoder.conv7.weight"])
+    params[("d7_conv", "bias")] = _np(sd["decoder.conv7.bias"])
+
+    return {"params": traverse_util.unflatten_dict(params),
+            "batch_stats": traverse_util.unflatten_dict(stats)}
+
+
+def convert_albef(sd: Mapping[str, Any], image_size: int = 384,
+                  patch: int = 16) -> Dict:
+    """ALBEF retrieval/grounding checkpoint → srsem ALBEF tower trees.
+
+    Maps the reference's full ALBEF state dict (reference:
+    additional_approaches/src/albef/model_wrapper.py:57-72 — keys
+    ``visual_encoder.*`` (deit-style timm ViT, fused qkv, no pre-norm),
+    ``text_encoder[.bert].*`` (BERT-base whose upper layers also carry
+    cross-attention), ``vision_proj.*`` / ``text_proj.*``) onto:
+
+    * ``vit`` — ClipViT(use_norm_pre=False, ln_eps=1e-6) params, with the
+      checkpoint positional embedding BICUBIC-interpolated to the
+      ``image_size`` grid at load time, exactly like the reference's
+      ``interpolate_pos_embed`` (albef/vit.py:178-202, wrapper :58-60);
+    * ``vision_proj`` / ``text_proj`` — {"kernel", "bias"} for the biased
+      joint-space Linears (wrapper :97, :110);
+    * ``text`` — MiniLMEncoder(hidden=768, layers=12, pool="cls") params.
+      Cross-attention weights are dropped here — ALBEF's text mode skips
+      them (xbert mode='text'); convert the fusion stack separately with
+      srsem.explain.fusion.convert_albef_fusion.
+
+    Momentum-distilled copies (``*_m``, ``*_m.*``) and the queue buffers
+    are ignored.  Returns ``{"vit", "vision_proj", "text", "text_proj"}``
+    — feed to AlbefDualEncoder (srsem/explain/dual_encoders.py).
+    """
+    vit_sd = _strip_prefix(sd, "visual_encoder.")
+    flat: Dict[tuple, np.ndarray] = {}
+    flat[("patch_embed", "kernel")] = _conv(vit_sd["patch_embed.proj.weight"])
+    flat[("patch_embed", "bias")] = _np(vit_sd["patch_embed.proj.bias"])
+    width = _np(vit_sd["cls_token"]).shape[-1]
+    flat[("cls_token",)] = _np(vit_sd["cls_token"]).reshape(1, 1, -1)
+
+    pos = _np(vit_sd["pos_embed"]).reshape(1, -1, width)
+    new_side = image_size // patch
+    old_side = int(round(float(pos.shape[1] - 1) ** 0.5))
+    if old_side != new_side:
+        # Reference load-time interpolation: bicubic, align_corners=False
+        # (albef/vit.py:193-196).  torch's bicubic kernel (a=-0.75)
+        # differs from jax.image.resize's (a=-0.5), so reuse torch — it
+        # is always importable where a torch checkpoint is being read.
+        import torch
+        import torch.nn.functional as F
+
+        grid = torch.from_numpy(
+            pos[:, 1:].reshape(1, old_side, old_side, width)).permute(
+                0, 3, 1, 2)
+        grid = F.interpolate(grid, size=(new_side, new_side),
+                             mode="bicubic", align_corners=False)
+        grid = grid.permute(0, 2, 3, 1).reshape(1, new_side * new_side,
+                                                width).numpy()
+        pos = np.concatenate([pos[:, :1], grid], axis=1)
+    flat[("pos_embed",)] = pos
+
+    flat[("norm", "scale")] = _np(vit_sd["norm.weight"])
+    flat[("norm", "bias")] = _np(vit_sd["norm.bias"])
+    n_layers = 1 + max(int(m.group(1)) for k in vit_sd
+                       if (m := re.match(r"blocks\.(\d+)\.", k)))
+    for l in range(n_layers):
+        tp = f"blocks.{l}"
+        for ln in ("norm1", "norm2"):
+            flat[(tp, ln, "scale")] = _np(vit_sd[f"{tp}.{ln}.weight"])
+            flat[(tp, ln, "bias")] = _np(vit_sd[f"{tp}.{ln}.bias"])
+        for lin in ("attn.qkv", "attn.proj", "mlp.fc1", "mlp.fc2"):
+            flat[(tp, lin, "kernel")] = _np(vit_sd[f"{tp}.{lin}.weight"]).T
+            flat[(tp, lin, "bias")] = _np(vit_sd[f"{tp}.{lin}.bias"])
+    vit_params = traverse_util.unflatten_dict(flat)
+
+    out: Dict[str, Any] = {"vit": vit_params}
+    for proj in ("vision_proj", "text_proj"):
+        if f"{proj}.weight" in sd:
+            out[proj] = {"kernel": _np(sd[f"{proj}.weight"]).T,
+                         "bias": _np(sd[f"{proj}.bias"])}
+
+    text_sd = {k: v for k, v in _strip_prefix(sd, "text_encoder.").items()
+               if "crossattention" not in k}
+    text_sd = {(k[len("bert."):] if k.startswith("bert.") else k): v
+               for k, v in text_sd.items()}
+    if text_sd:
+        from srsem.pseudo.text_embed import convert_hf_minilm
+
+        out["text"] = convert_hf_minilm(
+            {k: _np(v) for k, v in text_sd.items()
+             if not k.startswith("cls.")})
+    return out

@@ -344,3 +344,85 @@ def test_visualize_cli(tmp_path):
     with pytest.raises(SystemExit):
         main(["visualize", "overlay", "--image", str(img),
               "--out", str(tmp_path / "x.png")])  # --map missing
+
+    # heatmap accepts .pkl matrices too (some reference pipelines pickle
+    # their similarity matrices); unknown extensions exit with a message.
+    pmat = tmp_path / "sim.pkl"
+    with open(pmat, "wb") as f:
+        pickle.dump(rng.random((3, 3)).astype(np.float32), f)
+    heat2 = tmp_path / "heat2.png"
+    assert main(["visualize", "heatmap", "--matrix", str(pmat),
+                 "--out", str(heat2)]) == 0
+    assert heat2.stat().st_size > 0
+    with pytest.raises(SystemExit, match="unsupported extension"):
+        main(["visualize", "heatmap", "--matrix", str(tmp_path / "sim.csv"),
+              "--out", str(tmp_path / "x.png")])
+
+
+def test_visualize_map_overshoot_clips_not_rescales(tmp_path, capsys):
+    """A map with a tiny float overshoot (max 1.0000001) is CLIPPED to
+    [0,1], not silently min-max rescaled — rescaling would remap the whole
+    dynamic range and change the rendered contrast; substantially
+    out-of-range maps still auto-normalize with a stderr notice."""
+    from srsem.explain.visual import overlay_cam
+
+    img = tmp_path / "im.png"
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(img)
+
+    base = np.linspace(0.0, 1.0, 64, dtype=np.float32).reshape(8, 8)
+    overshoot = base.copy()
+    overshoot[-1, -1] = 1.0 + 1e-6
+    exact, shot = tmp_path / "exact.npy", tmp_path / "shot.npy"
+    np.save(exact, base)
+    np.save(shot, overshoot)
+    out_a, out_b = tmp_path / "a.png", tmp_path / "b.png"
+    assert main(["visualize", "overlay", "--image", str(img),
+                 "--map", str(exact), "--out", str(out_a)]) == 0
+    assert main(["visualize", "overlay", "--image", str(img),
+                 "--map", str(shot), "--out", str(out_b)]) == 0
+    np.testing.assert_array_equal(np.asarray(Image.open(out_a)),
+                                  np.asarray(Image.open(out_b)))
+    assert "rescaling" not in capsys.readouterr().err
+
+    big = tmp_path / "big.npy"
+    np.save(big, base * 7.0 - 2.0)
+    assert main(["visualize", "overlay", "--image", str(img),
+                 "--map", str(big), "--out", str(tmp_path / "c.png")]) == 0
+    assert "min-max rescaling" in capsys.readouterr().err
+    # Auto-rescale reproduces the in-range render for an affine map.
+    want = overlay_cam(np.zeros((8, 8, 3), np.float32), base)
+    np.testing.assert_array_equal(np.asarray(Image.open(tmp_path / "c.png")),
+                                  want)
+
+
+def test_visualize_overlay_never_touches_a_device(tmp_path):
+    """`visualize` stays device-free end-to-end: the overlay resize is
+    pure numpy (srsem/explain/visual.py:_resize_bilinear_np), so the
+    plotting CLI can never claim the TPU behind a running serve/bench
+    (deployment host: one chip, one claim at a time).  jax itself is
+    pre-imported by a site hook in this image, so the contract is "no
+    XLA backend initialized", not "jax unimported"."""
+    import subprocess
+    import sys as _sys
+
+    img = tmp_path / "im.png"
+    Image.fromarray(
+        np.random.default_rng(0).integers(
+            0, 255, (16, 16, 3), dtype=np.uint8)).save(img)
+    fmap = tmp_path / "m.npy"
+    np.save(fmap, np.random.default_rng(1).random((4, 4),
+                                                  dtype=np.float32))
+    code = (
+        "import sys\n"
+        "from srsem.cli.main import main\n"
+        f"rc = main(['visualize', 'overlay', '--image', {str(img)!r},"
+        f" '--map', {str(fmap)!r}, '--out',"
+        f" {str(tmp_path / 'o.png')!r}])\n"
+        "assert rc == 0\n"
+        "if 'jax' in sys.modules:\n"
+        "    import jax._src.xla_bridge as xb\n"
+        "    assert not xb._backends, 'visualize initialized a backend'\n"
+    )
+    r = subprocess.run([_sys.executable, "-c", code],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stdout + r.stderr

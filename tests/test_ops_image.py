@@ -70,3 +70,18 @@ def test_mxu_resize_matches_gather_resize(np_rng):
                 lambda v, hw=hw, ac=ac: resize_bilinear_mxu(
                     v, hw, align_corners=ac))(x))
             np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_numpy_resize_matches_jax_resize(np_rng):
+    """The device-free numpy resize used by the visualization path
+    (srsem/explain/visual.py:_resize_bilinear_np) pins the same
+    half-pixel convention as resize_bilinear — overlays rendered by the
+    jax-free CLI match what the device pipeline would produce."""
+    from srsem.explain.visual import _resize_bilinear_np
+
+    for in_hw, out_hw in (((8, 12), (32, 48)), ((13, 9), (7, 5)),
+                          ((4, 4), (9, 9)), ((1, 5), (3, 15))):
+        m = np_rng.standard_normal(in_hw).astype(np.float32)
+        a = _resize_bilinear_np(m, out_hw)
+        b = np.asarray(resize_bilinear(m[None, ..., None], out_hw))[0, ..., 0]
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)

@@ -51,3 +51,240 @@ def test_saliency_losses(np_rng):
     assert np.isfinite(val)
     # dispatcher
     assert float(np.asarray(saliency_loss(a, a, "cc"))) == pytest.approx(1.0, abs=1e-5)
+
+
+# ---------------- converter parity vs a torch mirror ---------------------
+
+class _TorchMirror:
+    """Namespace for the torch TranSalNet mirror (built lazily so the
+    module imports without torch)."""
+
+    @staticmethod
+    def build():
+        import torch
+        import torch.nn as tnn
+
+        class DenseLayer(tnn.Module):
+            # reference utils/densenet.py:22-49 (norm1/conv1/norm2/conv2,
+            # bn_size=4, growth 48)
+            def __init__(self, in_ch, growth=48, bn_size=4):
+                super().__init__()
+                self.norm1 = tnn.BatchNorm2d(in_ch)
+                self.conv1 = tnn.Conv2d(in_ch, bn_size * growth, 1,
+                                        bias=False)
+                self.norm2 = tnn.BatchNorm2d(bn_size * growth)
+                self.conv2 = tnn.Conv2d(bn_size * growth, growth, 3,
+                                        padding=1, bias=False)
+
+            def forward(self, x):
+                h = self.conv1(tnn.functional.relu(self.norm1(x)))
+                h = self.conv2(tnn.functional.relu(self.norm2(h)))
+                return torch.cat([x, h], dim=1)
+
+        class DenseBlock(tnn.Module):
+            # reference utils/densenet.py:93-113
+            def __init__(self, n_layers, in_ch, growth=48):
+                super().__init__()
+                for i in range(n_layers):
+                    self.add_module(f"denselayer{i + 1}",
+                                    DenseLayer(in_ch + i * growth, growth))
+
+            def forward(self, x):
+                for m in self.children():
+                    x = m(x)
+                return x
+
+        class Transition(tnn.Sequential):
+            # reference utils/densenet.py:116-123
+            def __init__(self, in_ch, out_ch):
+                super().__init__()
+                self.add_module("norm", tnn.BatchNorm2d(in_ch))
+                self.add_module("relu", tnn.ReLU(inplace=True))
+                self.add_module("conv", tnn.Conv2d(in_ch, out_ch, 1,
+                                                   bias=False))
+                self.add_module("pool", tnn.AvgPool2d(2, 2))
+
+        class Encoder(tnn.Module):
+            # reference TranSalNet_Dense.py:57-70 — densenet161 features
+            # children [:-1] as a ModuleList, taps after indices 6/8/10
+            def __init__(self):
+                super().__init__()
+                g = 48
+                self.encoder = tnn.ModuleList([
+                    tnn.Conv2d(3, 96, 7, 2, 3, bias=False),      # 0 conv0
+                    tnn.BatchNorm2d(96),                          # 1 norm0
+                    tnn.ReLU(inplace=True),                       # 2 relu0
+                    tnn.MaxPool2d(3, 2, 1),                       # 3 pool0
+                    DenseBlock(6, 96, g),                         # 4 → 384
+                    Transition(384, 192),                         # 5
+                    DenseBlock(12, 192, g),                       # 6 → 768
+                    Transition(768, 384),                         # 7
+                    DenseBlock(36, 384, g),                       # 8 → 2112
+                    Transition(2112, 1056),                       # 9
+                    DenseBlock(24, 1056, g),                      # 10 → 2208
+                ])
+
+            def forward(self, x):
+                taps = []
+                for i, layer in enumerate(self.encoder):
+                    x = layer(x)
+                    if i in {6, 8, 10}:
+                        taps.append(x)
+                return taps
+
+        class Attention(tnn.Module):
+            # reference utils/TransformerEncoder.py:25-70
+            def __init__(self, hidden, heads):
+                super().__init__()
+                self.heads, self.hd = heads, hidden // heads
+                self.query = tnn.Linear(hidden, hidden)
+                self.key = tnn.Linear(hidden, hidden)
+                self.value = tnn.Linear(hidden, hidden)
+                self.out = tnn.Linear(hidden, hidden)
+
+            def _split(self, x):
+                b, t, _ = x.shape
+                return x.view(b, t, self.heads, self.hd).permute(0, 2, 1, 3)
+
+            def forward(self, x):
+                q, k, v = (self._split(m(x))
+                           for m in (self.query, self.key, self.value))
+                a = torch.softmax(q @ k.transpose(-1, -2) / self.hd ** 0.5,
+                                  dim=-1)
+                h = (a @ v).permute(0, 2, 1, 3).reshape(x.shape)
+                return self.out(h)
+
+        class Mlp(tnn.Module):
+            # reference utils/TransformerEncoder.py:74-96 (exact gelu)
+            def __init__(self, hidden):
+                super().__init__()
+                self.fc1 = tnn.Linear(hidden, 4 * hidden)
+                self.fc2 = tnn.Linear(4 * hidden, hidden)
+
+            def forward(self, x):
+                return self.fc2(tnn.functional.gelu(self.fc1(x)))
+
+        class Block(tnn.Module):
+            # reference utils/TransformerEncoder.py:99-118 (pre-norm)
+            def __init__(self, hidden, heads):
+                super().__init__()
+                self.attention_norm = tnn.LayerNorm(hidden, eps=1e-6)
+                self.attn = Attention(hidden, heads)
+                self.ffn_norm = tnn.LayerNorm(hidden, eps=1e-6)
+                self.ffn = Mlp(hidden)
+
+            def forward(self, x):
+                x = x + self.attn(self.attention_norm(x))
+                return x + self.ffn(self.ffn_norm(x))
+
+        class TransformerEncoder(tnn.Module):
+            # reference utils/TransformerEncoder.py:120-135
+            def __init__(self, hidden, heads, layers=2):
+                super().__init__()
+                self.layer = tnn.ModuleList(
+                    [Block(hidden, heads) for _ in range(layers)])
+                self.encoder_norm = tnn.LayerNorm(hidden, eps=1e-6)
+
+            def forward(self, x):
+                for blk in self.layer:
+                    x = blk(x)
+                return self.encoder_norm(x)
+
+        class TransEncoder(tnn.Module):
+            # reference TranSalNet_Dense.py:146-169
+            def __init__(self, in_ch, spatial, hidden, heads):
+                super().__init__()
+                self.patch_embeddings = tnn.Conv2d(in_ch, hidden, 1)
+                self.position_embeddings = tnn.Parameter(
+                    torch.zeros(1, spatial, hidden))
+                self.transformer_encoder = TransformerEncoder(hidden, heads)
+
+            def forward(self, x):
+                b, _, a, w = x.shape
+                t = self.patch_embeddings(x).flatten(2).transpose(-1, -2)
+                t = self.transformer_encoder(t + self.position_embeddings)
+                return t.permute(0, 2, 1).reshape(b, -1, a, w)
+
+        class Decoder(tnn.Module):
+            # reference TranSalNet_Dense.py:73-143
+            def __init__(self, hw5):
+                super().__init__()
+                chans = (768, 768, 512, 256, 128, 64, 32, 1)
+                for k in range(1, 8):
+                    self.add_module(
+                        f"conv{k}",
+                        tnn.Conv2d(chans[k - 1], chans[k], 3, padding=1))
+                for k, c in enumerate((768, 512, 256, 128, 64, 32), 1):
+                    self.add_module(f"batchnorm{k}", tnn.BatchNorm2d(c))
+                h5, w5 = hw5
+                self.TransEncoder1 = TransEncoder(2208, h5 * w5, 768, 12)
+                self.TransEncoder2 = TransEncoder(2112, 4 * h5 * w5, 768, 12)
+                self.TransEncoder3 = TransEncoder(768, 16 * h5 * w5, 512, 8)
+                self.up = tnn.Upsample(scale_factor=2, mode="nearest")
+                self.relu = tnn.ReLU(True)
+
+            def forward(self, taps):
+                x3, x4, x5 = taps
+                h = self.up(self.relu(self.batchnorm1(
+                    self.conv1(self.TransEncoder1(x5)))))
+                h = self.relu(h * self.TransEncoder2(x4))
+                h = self.up(self.relu(self.batchnorm2(self.conv2(h))))
+                h = self.relu(h * self.TransEncoder3(x3))
+                h = self.up(self.relu(self.batchnorm3(self.conv3(h))))
+                h = self.up(self.relu(self.batchnorm4(self.conv4(h))))
+                h = self.up(self.relu(self.batchnorm5(self.conv5(h))))
+                h = self.relu(self.batchnorm6(self.conv6(h)))
+                return torch.sigmoid(self.conv7(h))
+
+        class TorchTranSalNet(tnn.Module):
+            # reference TranSalNet_Dense.py:44-54
+            def __init__(self, hw5=(3, 4)):
+                super().__init__()
+                self.encoder = Encoder()
+                self.decoder = Decoder(hw5)
+
+            def forward(self, x):
+                return self.decoder(self.encoder(x))
+
+        return TorchTranSalNet
+
+
+@pytest.mark.slow
+def test_transalnet_converter_parity(np_rng):
+    """convert_transalnet: randomized torch TranSalNet mirror → flax trees;
+    eval-mode saliency maps match to fp32 tolerance end to end (DenseNet
+    encoder, 3 transformer encoders with fused qkv, multiplicative
+    decoder).  This is the zero-egress contingency for the SaliencyMaps
+    overlap metrics (reference compute_metrics.py:130-134)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as tnn
+
+    from srsem.utils.convert import convert_transalnet
+
+    torch.manual_seed(7)
+    tmodel = _TorchMirror.build()((3, 4)).eval()
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.weight.uniform_(0.7, 1.3)
+                m.bias.normal_(0, 0.2)
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.7, 1.4)
+            elif isinstance(m, tnn.LayerNorm):
+                m.weight.uniform_(0.8, 1.2)
+                m.bias.normal_(0, 0.05)
+        for k in (1, 2, 3):
+            getattr(tmodel.decoder,
+                    f"TransEncoder{k}").position_embeddings.normal_(0, 0.02)
+
+    x = np_rng.uniform(0, 1, (1, 96, 128, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(
+            torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()[:, 0]
+
+    tree = convert_transalnet(tmodel.state_dict())
+    model = TranSalNetDense()
+    got = np.asarray(model.apply(
+        {"params": tree["params"], "batch_stats": tree["batch_stats"]},
+        jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

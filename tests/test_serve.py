@@ -288,6 +288,44 @@ def test_bucketed_single_request_matches_full_batch(setup):
     service.close()
 
 
+def test_group_batch_must_be_mesh_divisible(setup):
+    """A group_batch that cannot shard over the data axis fails at
+    startup (ScoreService.__init__), not silently at the first request —
+    the round-3 ladder appended it unconditionally."""
+    from srsem.core.meshes import create_mesh
+
+    cfg, variables, _ = setup
+    mesh = create_mesh(data=4, model=1, devices=jax.devices("cpu")[:4])
+    with pytest.raises(ValueError, match="mesh-divisible"):
+        ScoreService(cfg, variables, group_batch=6, mesh=mesh)
+
+
+@pytest.mark.slow
+def test_bucketed_single_request_on_mesh(setup):
+    """Lone-request bucketing on a data>1 mesh: the smallest
+    mesh-divisible bucket (G=2) serves it, the bucket choice is stable
+    across the scorer build (round-3 bug: the lazily resolved mesh
+    changed `_ladder` between `_pick_g` and the scorer construction),
+    and the sharded score matches the mesh-free one."""
+    from srsem.core.meshes import create_mesh
+
+    cfg, variables, paths = setup
+    mesh = create_mesh(data=2, model=1, devices=jax.devices("cpu")[:2])
+    service = ScoreService(cfg, variables, group_batch=4, mesh=mesh)
+    assert service._ladder() == [2, 4]
+    req = {"gt": paths["gt"], "sr": [paths["sr_a"], paths["sr_b"]]}
+    r = service.handle(dict(req))
+    assert set(service._scorers) == {(2, 2)}  # smallest mesh bucket only
+    service.close()
+
+    plain = ScoreService(cfg, variables, group_batch=4)
+    r0 = plain.handle(dict(req))
+    assert set(plain._scorers) == {(2, 1)}
+    np.testing.assert_allclose(r["scores"], r0["scores"],
+                               rtol=1e-5, atol=1e-6)
+    plain.close()
+
+
 @pytest.mark.slow
 def test_decode_cache_and_stats(setup, tmp_path):
     """Repeat requests hit the decoded-image LRU (the host-decode-bound

@@ -53,6 +53,49 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(restored3["w"], np.arange(5.0))
 
 
+def test_checkpoint_retention(tmp_path):
+    """keep_last prunes old step files, never the newest ones, and the
+    latest checkpoint stays restorable (TrainConfig.checkpoint_keep_last)."""
+    import os
+
+    for step in (1, 2, 3, 4, 5):
+        save_checkpoint(str(tmp_path), step,
+                        {"w": step * np.ones(3)}, keep_last=2)
+    files = sorted(f for f in os.listdir(tmp_path)
+                   if f.startswith("step_"))
+    assert files == ["step_4.msgpack", "step_5.msgpack"]
+    restored = restore_checkpoint(str(tmp_path), {"w": np.zeros(3)})
+    np.testing.assert_array_equal(restored["w"], 5 * np.ones(3))
+    # keep_last=None keeps everything (reference per-epoch torch.save).
+    save_checkpoint(str(tmp_path), 6, {"w": np.ones(3)})
+    assert len([f for f in os.listdir(tmp_path)
+                if f.startswith("step_")]) == 3
+
+
+def test_orbax_checkpointer_roundtrip(tmp_path):
+    """OrbaxCheckpointer save → restore round-trip (the sharding-aware
+    multi-host path, srsem/train/checkpoint.py:61-83); latest-step
+    selection and typed restore against a target tree."""
+    ocp = pytest.importorskip("orbax.checkpoint")  # noqa: F841
+    from srsem.train.checkpoint import OrbaxCheckpointer
+
+    mgr = OrbaxCheckpointer(str(tmp_path / "orbax"))
+    tree1 = {"w": np.arange(4.0, dtype=np.float32),
+             "nested": {"b": np.ones((2, 3), np.float32)}}
+    mgr.save(2, tree1)
+    mgr.save(5, {"w": np.zeros(4, np.float32),
+                 "nested": {"b": 7 * np.ones((2, 3), np.float32)}})
+    target = {"w": np.zeros(4, np.float32),
+              "nested": {"b": np.zeros((2, 3), np.float32)}}
+    latest = mgr.restore(target)
+    np.testing.assert_array_equal(latest["nested"]["b"],
+                                  7 * np.ones((2, 3)))
+    old = mgr.restore(target, step=2)
+    np.testing.assert_array_equal(old["w"], np.arange(4.0))
+    with pytest.raises(FileNotFoundError):
+        OrbaxCheckpointer(str(tmp_path / "empty")).restore(target)
+
+
 def test_sweep_grids_match_reference():
     # reference: CLIPLPIPS_REG_training_sweep_example.py:107-114
     assert list(grid_points(GLOBAL_SWEEP)) == [
