@@ -980,6 +980,54 @@ def main() -> None:
         print(json.dumps({"bench": "host_decode_1024px_jpeg",
                           "error": str(e)[:300]}), file=sys.stderr, flush=True)
 
+    # --- secondary: decode-thread scaling through srsem_decode_batch.
+    # The 20k-pairs/min e2e claim assumes host decode scales with cores
+    # (BENCH_NOTES r1); this line SELF-MEASURES it on whatever host runs
+    # the bench instead of extrapolating.  On this 1-core container the
+    # rates are flat (documents the bound); on a real multi-core serving
+    # host the n_threads sweep shows the actual scaling curve.
+    try:
+        _section("host_decode_thread_scaling")
+        import os
+        import tempfile
+
+        from PIL import Image
+
+        from srsem import native
+
+        if not native.available():
+            raise RuntimeError(f"native decoder: {native.build_error()}")
+        n_files = 64
+        tmpd = tempfile.mkdtemp(prefix="srsem_jpgs_")
+        enc_rng = np.random.default_rng(5)
+        paths = []
+        for i in range(8):  # 8 distinct files, cycled — dodges page cache skew
+            arr = enc_rng.integers(0, 255, (1024, 1280, 3), dtype=np.uint8)
+            p = os.path.join(tmpd, f"f{i}.jpg")
+            Image.fromarray(arr).save(p, quality=92)
+            paths.append(p)
+        batch = [paths[i % len(paths)] for i in range(n_files)]
+        ncpu = os.cpu_count() or 1
+        rates = {}
+        for nt in (1, 2, 4, 8, 16):
+            native.decode_batch(batch[:8], 224, n_threads=nt)  # warm
+            t0 = time.perf_counter()
+            _, ok = native.decode_batch(batch, 224, n_threads=nt)
+            dt = time.perf_counter() - t0
+            assert ok.all()
+            rates[f"t{nt}"] = round(n_files / dt, 1)
+        print(json.dumps({
+            "bench": "host_decode_thread_scaling",
+            "host_cpus": ncpu,
+            "images_per_sec": rates,
+            "scaling_16_vs_1": round(rates["t16"] / rates["t1"], 2)}),
+            file=sys.stderr, flush=True)
+    except _SkippedSection:
+        pass
+    except Exception as e:
+        print(json.dumps({"bench": "host_decode_thread_scaling",
+                          "error": str(e)[:300]}), file=sys.stderr, flush=True)
+
     # --- secondary: e2e file→score at the 1024px SR-output shape, full vs
     # fast-JPEG decode.  This is where the host-decode-bound path actually
     # lives (SR model outputs are ~1024px; the 300px e2e line above keeps

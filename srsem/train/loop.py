@@ -52,15 +52,21 @@ def run_training(
     writer=None,
     mesh=None,
     rng: Optional[jax.Array] = None,
+    variables=None,
 ) -> TrainResult:
     """Generic masked-MSE training over the mesh; returns final metrics and
-    the trained state."""
+    the trained state.
+
+    ``variables``: optional warm-start tree ({"params": ..., optionally
+    "batch_stats": ...}) — e.g. a converted torch tower (srsem convert) or
+    a prior run's state; skips the random init."""
     mesh = mesh or create_mesh(cfg.mesh.data_axis, cfg.mesh.model_axis)
     writer = writer or default_writer()
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
 
-    first_batch, _ = next(iter(train_loader))
-    variables = _init_variables(model, rng, first_batch, is_map_model)
+    if variables is None:
+        first_batch, _ = next(iter(train_loader))
+        variables = _init_variables(model, rng, first_batch, is_map_model)
     batch_stats = variables.get("batch_stats", {})
     trainable, frozen = partition_params(variables["params"], predicate)
 
@@ -105,7 +111,7 @@ def run_training(
                 "trainable": trainable,
                 "opt_state": opt_state,
                 "batch_stats": batch_stats,
-            })
+            }, keep_last=cfg.checkpoint_keep_last)
 
     writer.close()
     return TrainResult(
