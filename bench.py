@@ -920,14 +920,23 @@ def main() -> None:
         for p in paths[:64]:
             scorer._decode_pair(p)
         decode_rate = 64 / (time.perf_counter() - t0)
-        # full path (warm once for compile, then measure)
+        # full path (warm once for compile, then BEST of 3 — this line is
+        # host-decode-bound and the shared host's scheduling noise
+        # dominated cross-session readings of 39-100 pairs/s in r1-r3;
+        # min-of-N isolates the capability number like the device-side
+        # lines do).
         scorer.score_paths(paths[:128])
-        t0 = time.perf_counter()
-        out = scorer.score_paths(paths)
-        e2e = len(paths) / (time.perf_counter() - t0)
+        e2e_runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = scorer.score_paths(paths)
+            e2e_runs.append(len(paths) / (time.perf_counter() - t0))
+        e2e = max(e2e_runs)
         assert np.isfinite(out).all()
         print(json.dumps({"bench": "e2e_file_to_score",
                           "pairs_per_sec": round(e2e, 2),
+                          "runs_pairs_per_sec": [round(r, 1)
+                                                 for r in e2e_runs],
                           "decode_only_pairs_per_sec": round(decode_rate, 2),
                           "overlap_efficiency": round(e2e / decode_rate, 3),
                           "n_pairs": n_pairs}),
@@ -1065,10 +1074,13 @@ def main() -> None:
             sc = PairScorer(gcfg, jax.device_get(gvars), mesh=mesh,
                             batch_size=128, num_workers=8, fast_jpeg=fast)
             sc.score_paths(paths[:64])  # warm decode path + compile
-            t0 = time.perf_counter()
-            out = sc.score_paths(paths)
-            rates["fast" if fast else "full"] = (
-                len(paths) / (time.perf_counter() - t0))
+            best = 0.0
+            for _ in range(3):  # best-of-3: host-noise-dominated line
+                t0 = time.perf_counter()
+                out = sc.score_paths(paths)
+                best = max(best,
+                           len(paths) / (time.perf_counter() - t0))
+            rates["fast" if fast else "full"] = best
             assert np.isfinite(out).all()
         print(json.dumps({
             "bench": "e2e_file_to_score_1024px",

@@ -109,6 +109,15 @@ def cmd_convert(args) -> int:
         # bicubic-interpolated to the --image-size grid, default 384).
         tree = cv.convert_albef(
             sd, image_size=args.image_size if args.image_size else 384)
+    elif kind == "albef_fusion":
+        # ALBEF text_encoder (cross-attention fusion stack) + itm_head →
+        # AlbefFusionEncoder params; accepts the full retrieval checkpoint
+        # (itm_head picked up from the same dict when present).
+        from srsem.explain.fusion import convert_albef_fusion
+
+        itm = ({k: v for k, v in sd.items() if k.startswith("itm_head.")}
+               or None)
+        tree = convert_albef_fusion(sd, itm_sd=itm)
     elif kind == "transalnet":
         # Full TranSalNet-Dense checkpoint → {"params", "batch_stats"}
         # trees for srsem.explain.saliency.TranSalNetDense (reference:
@@ -702,6 +711,46 @@ def cmd_serve(args) -> int:
     return run_serve(args)
 
 
+def cmd_saliency(args) -> int:
+    """Generate the ``SaliencyMaps/`` .npy tree for an image folder.
+
+    The reference computes TranSalNet saliency maps offline and its
+    overlap metrics read them from a parallel SaliencyMaps directory
+    (reference: additional_approaches/src/eval_utils/compute_metrics.py:
+    130-134; srsem.eval.approaches.load_saliency).  Weights come from
+    ``srsem convert --kind transalnet`` — random init is allowed only
+    behind ``--random-init`` (shape/smoke runs; random saliency carries
+    no signal).  Skip-existing resumable like every srsem folder job."""
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from srsem.explain.saliency import (TranSalNetDense,
+                                        generate_saliency_maps)
+
+    model = TranSalNetDense()
+    if args.checkpoint:
+        with open(args.checkpoint, "rb") as f:
+            tree = serialization.msgpack_restore(f.read())
+        variables = {"params": tree["params"],
+                     "batch_stats": tree.get("batch_stats", {})}
+    elif args.random_init:
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, args.height, args.width, 3)), train=False)
+    else:
+        raise SystemExit(
+            "saliency needs --checkpoint (srsem convert --kind "
+            "transalnet) or an explicit --random-init for smoke runs")
+
+    apply_fn = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    n = generate_saliency_maps(apply_fn, variables, args.images, args.out,
+                               image_size=(args.height, args.width))
+    print(json.dumps({"images_dir": args.images, "out": args.out,
+                      "written": n}))
+    return 0
+
+
 def cmd_visualize(args) -> int:
     """Render scoring artifacts to image files — the reference's notebook
     plotting surface (additional_approaches/src/visual_utils.py:9-219) as a
@@ -1106,7 +1155,8 @@ def main(argv=None) -> int:
                    choices=["resnet50", "resnet50_clip", "clip_vit",
                             "hf_clip_text", "hf_clip_vit", "clip_text",
                             "slip", "minilm", "lpips", "transalnet",
-                            "albef", "global_head", "clu_decoder"])
+                            "albef", "albef_fusion",
+                            "global_head", "clu_decoder"])
     p.add_argument("--shared-head", action="store_true",
                    help="for global_head: the checkpoint is the singleLin "
                         "shared ViT head (w_layer Sequential) rather than "
@@ -1120,6 +1170,20 @@ def main(argv=None) -> int:
     p.add_argument("--lpips-net", default="alex", choices=["alex", "vgg"])
     p.add_argument("--out", default="converted.msgpack")
     p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser("saliency", help="write the SaliencyMaps .npy tree "
+                       "for an image folder (TranSalNet-Dense; reference "
+                       "compute_metrics.py:130-134)")
+    p.add_argument("--images", required=True, help="input image folder")
+    p.add_argument("--out", required=True, help="output SaliencyMaps dir")
+    p.add_argument("--checkpoint", default=None,
+                   help="converted TranSalNet msgpack (srsem convert "
+                        "--kind transalnet)")
+    p.add_argument("--random-init", action="store_true",
+                   help="allow random-init weights (smoke/shape runs only)")
+    p.add_argument("--height", type=int, default=288)
+    p.add_argument("--width", type=int, default=384)
+    p.set_defaults(fn=cmd_saliency)
 
     p = sub.add_parser("sweep-dataset")
     p.add_argument("gt_folder")

@@ -195,3 +195,28 @@ def test_convert_albef_pos_embed_interpolation(np_rng):
                   pos_grid=6, use_norm_pre=False, ln_eps=1e-6)
     got, _ = vit.apply({"params": tree["vit"]}, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_convert_albef_cli_roundtrip(np_rng, tmp_path):
+    """`srsem convert --kind albef` wiring: full checkpoint in, msgpack
+    tree out, loadable and structurally complete."""
+    from flax import serialization
+
+    from srsem.cli.main import main
+
+    torch.manual_seed(5)
+    tvit = TorchDeit(grid=4).eval()
+    sd, _hf, _tvp, _ttp = _albef_checkpoint(np_rng, tvit)
+    ckpt = tmp_path / "albef.pth"
+    torch.save(sd, ckpt)
+    out = tmp_path / "albef.msgpack"
+    rc = main(["convert", str(ckpt), "--kind", "albef",
+               "--image-size", "32", "--out", str(out)])
+    assert rc == 0
+    with open(out, "rb") as f:
+        tree = serialization.msgpack_restore(f.read())
+    assert set(tree) == {"vit", "vision_proj", "text", "text_proj"}
+    # checkpoint grid is 4 (64px at patch 16); --image-size 32 → grid 2,
+    # so the CLI path exercises the load-time pos-embed interpolation:
+    # 1 cls + 2*2 patches.
+    assert tree["vit"]["pos_embed"].shape == (1, 5, 96)

@@ -426,3 +426,35 @@ def test_visualize_overlay_never_touches_a_device(tmp_path):
     r = subprocess.run([_sys.executable, "-c", code],
                        capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+@pytest.mark.slow
+def test_saliency_cli(tmp_path):
+    """`srsem saliency` writes the SaliencyMaps .npy tree (reference
+    compute_metrics.py:130-134), is skip-existing resumable, and refuses
+    to run without weights unless --random-init is explicit."""
+    rng = np.random.default_rng(0)
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    for name in ("a.png", "b.jpg"):
+        Image.fromarray(rng.integers(0, 255, (40, 52, 3),
+                                     dtype=np.uint8)).save(imgs / name)
+    out = tmp_path / "SaliencyMaps"
+
+    with pytest.raises(SystemExit, match="random-init"):
+        main(["saliency", "--images", str(imgs), "--out", str(out)])
+
+    rc = main(["saliency", "--images", str(imgs), "--out", str(out),
+               "--random-init", "--height", "64", "--width", "64"])
+    assert rc == 0
+    m = np.load(out / "a.npy")
+    assert m.shape == (64, 64)
+    assert 0.0 <= float(m.min()) and float(m.max()) <= 1.0
+    assert (out / "b.npy").exists()
+
+    # resumable: second run writes nothing new
+    before = {p.name: p.stat().st_mtime_ns for p in out.iterdir()}
+    rc = main(["saliency", "--images", str(imgs), "--out", str(out),
+               "--random-init", "--height", "64", "--width", "64"])
+    assert rc == 0
+    assert {p.name: p.stat().st_mtime_ns for p in out.iterdir()} == before
