@@ -880,6 +880,65 @@ def main() -> None:
         print(json.dumps({"bench": "clu_shared_threshold_step",
                           "error": str(e)[:300]}), file=sys.stderr, flush=True)
 
+    # --- secondary: auxiliary towers on-chip at PRODUCTION shapes.  The
+    # Flax TranSalNet-Dense (DenseNet-161 + 3 transformer encoders) and the
+    # ALBEF fusion/ITM stack are exercised by tests only at tiny CPU
+    # shapes; this section proves both compile and run on the TPU at the
+    # reference resolutions (TranSalNet 288x384, TranSalNet_Dense.py;
+    # ALBEF text 30 tokens x 577 patch states, model_retrieval.py) and
+    # records their throughput.
+    try:
+        _section("aux_towers_onchip")
+        import gc
+
+        from srsem.explain.saliency import TranSalNetDense
+
+        smodel = TranSalNetDense()
+        s_init = jax.jit(lambda r: smodel.init(
+            r, jnp.zeros((1, 288, 384, 3), jnp.float32), train=False))
+        svars = jax.device_put(jax.device_get(s_init(rng)), repl)
+        sal_apply = jax.jit(lambda v, x: smodel.apply(v, x, train=False))
+        sx = jax.device_put(
+            host.random((8, 288, 384, 3), dtype=np.float32), data)
+        s_rate = _throughput(sal_apply, (svars, sx), 8, 15)
+        print(json.dumps({
+            "bench": "saliency_transalnet",
+            "images_per_sec_per_chip": round(s_rate / n_chips, 2),
+            "resolution": "288x384"}), file=sys.stderr, flush=True)
+        del svars, sx
+        gc.collect()
+
+        from srsem.explain.fusion import AlbefFusionEncoder
+
+        fmodel = AlbefFusionEncoder()
+        n_txt, t_txt, t_img = 16, 30, 577  # 384px/16 grid + CLS
+        ids = jnp.zeros((1, t_txt), jnp.int32)
+        amask = jnp.ones((1, t_txt), jnp.float32)
+        istates = jnp.zeros((1, t_img, 768), jnp.float32)
+        f_init = jax.jit(lambda r: fmodel.init(r, ids, amask, istates))
+        fvars = jax.device_put(jax.device_get(f_init(rng)), repl)
+        f_apply = jax.jit(fmodel.apply)
+        bids = jax.device_put(np.ones((n_txt, t_txt), np.int32), data)
+        bmask = jax.device_put(np.ones((n_txt, t_txt), np.float32), data)
+        bstates = jax.device_put(
+            host.standard_normal((n_txt, t_img, 768)).astype(np.float32),
+            data)
+        f_rate = _throughput(f_apply, (fvars, bids, bmask, bstates),
+                             n_txt, 15)
+        print(json.dumps({
+            "bench": "albef_fusion_itm",
+            "pairs_per_sec_per_chip": round(f_rate / n_chips, 2),
+            "text_tokens": t_txt, "image_states": t_img}),
+            file=sys.stderr, flush=True)
+        del fvars, bids, bmask, bstates
+        gc.collect()
+    except _SkippedSection:
+        pass
+    except Exception as e:
+        print(json.dumps({"bench": "aux_towers_onchip",
+                          "error": str(e)[:300]}), file=sys.stderr,
+              flush=True)
+
     # --- secondary: END-TO-END file→decode→preprocess→score throughput on
     # a synthetic JPEG folder set (the honest host-bound number; the
     # reference's analogue is the 8-worker DataLoader feeding the eval loop,

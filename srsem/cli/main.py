@@ -85,13 +85,17 @@ def cmd_convert(args) -> int:
             sd = sd["model"]
         return sd
 
+    image_size = getattr(args, "image_size", None)
+    if image_size is not None and image_size <= 0:
+        raise SystemExit(f"--image-size must be positive, got {image_size}")
+
     sd = load_sd(args.input)
     kind = args.kind
     if kind == "resnet50":
         tree = cv.convert_torch_resnet50(sd)
     elif kind == "resnet50_clip":
         tree = cv.convert_clip_resnet50(
-            sd, image_size=args.image_size if args.image_size else 224)
+            sd, image_size=image_size if image_size else 224)
     elif kind == "clip_vit":
         tree = cv.convert_clip_vit(sd)
     elif kind == "hf_clip_text":
@@ -106,9 +110,11 @@ def cmd_convert(args) -> int:
         # Full ALBEF retrieval/grounding checkpoint → {"vit",
         # "vision_proj", "text", "text_proj"} trees for AlbefDualEncoder
         # (reference: albef/model_wrapper.py:57-72; pos-embed
-        # bicubic-interpolated to the --image-size grid, default 384).
+        # bicubic-interpolated to the --image-size grid, default 384,
+        # at the checkpoint's --patch granularity).
         tree = cv.convert_albef(
-            sd, image_size=args.image_size if args.image_size else 384)
+            sd, image_size=image_size if image_size else 384,
+            patch=getattr(args, "patch", 16))
     elif kind == "albef_fusion":
         # ALBEF text_encoder (cross-attention fusion stack) + itm_head →
         # AlbefFusionEncoder params; accepts the full retrieval checkpoint
@@ -1161,10 +1167,14 @@ def main(argv=None) -> int:
                    help="for global_head: the checkpoint is the singleLin "
                         "shared ViT head (w_layer Sequential) rather than "
                         "a per-layer w_layers ModuleList")
-    p.add_argument("--image-size", type=int, default=0,
+    p.add_argument("--image-size", type=int, default=None,
                    help="for resnet50_clip: attnpool grid size (default "
                         "224); for albef: the pos-embed target resolution "
                         "(default 384)")
+    p.add_argument("--patch", type=int, default=16,
+                   help="for albef: the ViT patch size the checkpoint was "
+                        "trained with (pos-embed grid = image-size/patch; "
+                        "default 16, the reference's deit-base/16)")
     p.add_argument("--tower", default=None,
                    help="for lpips: the AlexNet/VGG16 feature state dict")
     p.add_argument("--lpips-net", default="alex", choices=["alex", "vgg"])

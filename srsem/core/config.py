@@ -146,10 +146,13 @@ class TrainConfig:
     val_fraction: float = 0.2
     mesh: MeshConfig = field(default_factory=MeshConfig)
     checkpoint_dir: Optional[str] = None
-    # Retention: keep the newest N per-epoch checkpoints (None = keep all,
-    # the reference's per-epoch torch.save behavior — every step_N file
-    # accumulates).  Resumable training needs only the latest.
-    checkpoint_keep_last: Optional[int] = 3
+    # Retention: keep the newest N per-epoch checkpoints.  Default None =
+    # keep all, matching the reference's per-epoch torch.save behavior
+    # (CLIPLPIPS_REG_training_sweep_example.py:95) so older epochs stay
+    # restorable for rollback/comparison; pass --set
+    # checkpoint_keep_last=N to bound disk use (resume needs only the
+    # latest).
+    checkpoint_keep_last: Optional[int] = None
     log_every: int = 1  # batches between metric-writer calls
     # Loss-label binarization threshold for cosine maps; None = raw maps
     # (reference: datasets/local_eval_torch_ds.py:35-37).

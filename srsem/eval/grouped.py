@@ -43,6 +43,101 @@ CONV_HEADS = ("stages_cnn", "wperlay_cnn")
 VIT_HEADS = ("single_lin_vit", "stages_vit", "wperlay_vit")
 GROUPED_HEADS = CONV_HEADS + VIT_HEADS
 
+_EXTS = {".jpg", ".jpeg", ".png", ".bmp"}
+
+
+def _sr_model_names(sr_folders: Sequence[str]) -> List[str]:
+    """One display name per SR folder — score-column keys and map-file
+    stems.  Plain basenames collide when two runs share a model dir name
+    (``/runA/esrgan`` vs ``/runB/esrgan`` both → "esrgan", silently
+    dropping one model's scores); collisions grow parent segments
+    (``runA__esrgan``) until names are unique."""
+    paths = [Path(str(f).rstrip("/")) for f in sr_folders]
+    max_depth = max((len(p.parts) for p in paths), default=1)
+    for depth in range(1, max_depth + 1):
+        names = ["__".join(p.parts[-depth:]) for p in paths]
+        if len(set(names)) == len(names):
+            return names
+    raise ValueError(
+        f"SR folders do not resolve to unique names (duplicate paths?): "
+        f"{list(map(str, sr_folders))}")
+
+
+def _match_stems(gt_folder: str, sr_folders: Sequence[str]
+                 ) -> Tuple[List[str], List[Dict[str, Path]]]:
+    """Stems common to GT and every SR folder + per-folder stem→path maps.
+
+    Deterministic tie-break: when a folder holds one stem under several
+    extensions (``im2.png`` and ``im2.jpg``), the lexicographically FIRST
+    filename wins — filesystem iteration order must never pick the input.
+    """
+    stems = None
+    folder_files: List[Dict[str, Path]] = []
+    for folder in [gt_folder, *sr_folders]:
+        files: Dict[str, Path] = {}
+        for f in sorted(Path(folder).iterdir()):
+            if f.suffix.lower() in _EXTS and f.stem not in files:
+                files[f.stem] = f
+        folder_files.append(files)
+        stems = set(files) if stems is None else stems & set(files)
+    out = sorted(stems or ())
+    if not out:
+        raise ValueError("no stems common to GT and all SR folders")
+    return out, folder_files
+
+
+def _decoded_group_chunks(preprocess, stems: Sequence[str],
+                          folder_files: Sequence[Dict[str, Path]],
+                          k: int, bs: int, pool: cf.ThreadPoolExecutor):
+    """Yield ``(chunk_stems, gt (bs,H,W,3), sr (bs,K,H,W,3), ok (bs,))``
+    with chunk i+1's decodes submitted BEFORE chunk i is yielded, so host
+    decode overlaps the caller's device call (the double-buffering
+    PairScorer.score_paths already does — srsem/eval/scorer.py).  A failed
+    decode clears ``ok`` for that group (NaN-row contract, reference:
+    1_compute_image_metrics.py:119-134)."""
+    size = preprocess.size
+
+    def decode_one(path) -> Optional[np.ndarray]:
+        try:
+            return preprocess.decode_uint8(str(path))
+        except Exception:
+            return None
+
+    def submit(chunk):
+        return [pool.submit(lambda grp: [decode_one(p) for p in grp],
+                            [ff[s] for ff in folder_files])
+                for s in chunk]
+
+    chunks = [stems[i: i + bs] for i in range(0, len(stems), bs)]
+    pending = submit(chunks[0]) if chunks else []
+    for ci, chunk in enumerate(chunks):
+        futures, pending = pending, (
+            submit(chunks[ci + 1]) if ci + 1 < len(chunks) else [])
+        gt = np.zeros((bs, size, size, 3), np.uint8)
+        sr = np.zeros((bs, k, size, size, 3), np.uint8)
+        ok = np.zeros((bs,), bool)
+        for i, fut in enumerate(futures):
+            imgs = fut.result()
+            if all(im is not None for im in imgs):
+                gt[i] = imgs[0]
+                sr[i] = np.stack(imgs[1:])
+                ok[i] = True
+        yield chunk, gt, sr, ok
+
+
+def _pad_to_data_axis(mesh, gt_u8: np.ndarray, sr_u8: np.ndarray
+                      ) -> Tuple[int, np.ndarray, np.ndarray]:
+    """Pad the group dim up to a multiple of the mesh data axis; returns
+    the original G so callers slice padding off the result."""
+    g = gt_u8.shape[0]
+    pad = (-g) % mesh.shape["data"]
+    if pad:
+        gt_u8 = np.concatenate(
+            [gt_u8, np.zeros((pad,) + gt_u8.shape[1:], gt_u8.dtype)])
+        sr_u8 = np.concatenate(
+            [sr_u8, np.zeros((pad,) + sr_u8.shape[1:], sr_u8.dtype)])
+    return g, gt_u8, sr_u8
+
 
 class GroupedPairScorer:
     """Batched scorer for (GT, [SR_1..SR_K]) groups.
@@ -151,14 +246,7 @@ class GroupedPairScorer:
     def score_arrays(self, gt_u8: np.ndarray, sr_u8: np.ndarray) -> jax.Array:
         """(G,H,W,3) GT + (G,K,H,W,3) SR → (G,K) scores.  G is padded up to
         a multiple of the data axis (padding rows sliced off the result)."""
-        g = gt_u8.shape[0]
-        n_data = self.mesh.shape["data"]
-        pad = (-g) % n_data
-        if pad:
-            gt_u8 = np.concatenate(
-                [gt_u8, np.zeros((pad,) + gt_u8.shape[1:], gt_u8.dtype)])
-            sr_u8 = np.concatenate(
-                [sr_u8, np.zeros((pad,) + sr_u8.shape[1:], sr_u8.dtype)])
+        g, gt_u8, sr_u8 = _pad_to_data_axis(self.mesh, gt_u8, sr_u8)
         data = batch_sharding(self.mesh)
         out = self._score(self._variables,
                           jax.device_put(gt_u8, data),
@@ -171,55 +259,28 @@ class GroupedPairScorer:
     def score_folder_set(self, gt_folder: str,
                          sr_folders: Sequence[str]) -> "object":
         """Match stems across GT + K SR folders; one score column per SR
-        folder; NaN rows where any decode fails (reference failure
-        contract: 1_compute_image_metrics.py:119-134)."""
+        folder (unique names via _sr_model_names); NaN rows where any
+        decode fails (reference failure contract:
+        1_compute_image_metrics.py:119-134).  Host decode of chunk i+1
+        overlaps the device call for chunk i (_decoded_group_chunks)."""
         import pandas as pd
 
         if len(sr_folders) != self.k:
             raise ValueError(f"expected {self.k} SR folders, got {len(sr_folders)}")
-        exts = {".jpg", ".jpeg", ".png", ".bmp"}
-        stems = None
-        folder_files: List[Dict[str, Path]] = []
-        for folder in [gt_folder, *sr_folders]:
-            files = {f.stem: f for f in Path(folder).iterdir()
-                     if f.suffix.lower() in exts}
-            folder_files.append(files)
-            stems = set(files) if stems is None else stems & set(files)
-        stems = sorted(stems or ())
-        if not stems:
-            raise ValueError("no stems common to GT and all SR folders")
-
-        size = self.preprocess.size
-        bs = self.batch_size
-
-        def decode(path) -> Optional[np.ndarray]:
-            try:
-                return self.preprocess.decode_uint8(str(path))
-            except Exception:
-                return None
+        stems, folder_files = _match_stems(gt_folder, sr_folders)
+        names = _sr_model_names(sr_folders)
 
         rows = []
         with cf.ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-            for start in range(0, len(stems), bs):
-                chunk = stems[start: start + bs]
-                paths = [[ff[s] for ff in folder_files] for s in chunk]
-                decoded = list(pool.map(
-                    lambda group: [decode(p) for p in group], paths))
-                gt = np.zeros((bs, size, size, 3), np.uint8)
-                sr = np.zeros((bs, self.k, size, size, 3), np.uint8)
-                ok = np.zeros((bs,), bool)
-                for i, imgs in enumerate(decoded):
-                    if all(im is not None for im in imgs):
-                        gt[i] = imgs[0]
-                        sr[i] = np.stack(imgs[1:])
-                        ok[i] = True
+            for chunk, gt, sr, ok in _decoded_group_chunks(
+                    self.preprocess, stems, folder_files, self.k,
+                    self.batch_size, pool):
                 scores = np.array(jax.device_get(self.score_arrays(gt, sr)),
                                   np.float32, copy=True)
                 scores[~ok] = np.nan
                 for i, s in enumerate(chunk):
                     rows.append({"image_name": s,
-                                 **{os.path.basename(str(f).rstrip("/")): v
-                                    for f, v in zip(sr_folders, scores[i])}})
+                                 **dict(zip(names, scores[i]))})
         return pd.DataFrame(rows)
 
 
@@ -331,14 +392,7 @@ class GroupedMapScorer:
     def score_arrays(self, gt_u8: np.ndarray, sr_u8: np.ndarray) -> jax.Array:
         """(G,H,W,3) GT + (G,K,H,W,3) SR → (G,K,H,W) maps.  G is padded up
         to a multiple of the data axis (padding sliced off the result)."""
-        g = gt_u8.shape[0]
-        n_data = self.mesh.shape["data"]
-        pad = (-g) % n_data
-        if pad:
-            gt_u8 = np.concatenate(
-                [gt_u8, np.zeros((pad,) + gt_u8.shape[1:], gt_u8.dtype)])
-            sr_u8 = np.concatenate(
-                [sr_u8, np.zeros((pad,) + sr_u8.shape[1:], sr_u8.dtype)])
+        g, gt_u8, sr_u8 = _pad_to_data_axis(self.mesh, gt_u8, sr_u8)
         data = batch_sharding(self.mesh)
         out = self._score(self._variables,
                           jax.device_put(gt_u8, data),
@@ -351,51 +405,24 @@ class GroupedMapScorer:
         """Match stems across GT + K SR folders; per (stem, SR model) emit
         map_mean/map_min summary columns (NaN on decode failure — the
         reference failure contract, 1_compute_image_metrics.py:119-134);
-        optionally save each full map to ``maps_dir/<stem>__<model>.npy``."""
+        optionally save each full map to ``maps_dir/<stem>__<model>.npy``
+        (model names unique via _sr_model_names).  Host decode of chunk
+        i+1 overlaps the device call for chunk i."""
         import pandas as pd
 
         if len(sr_folders) != self.k:
             raise ValueError(
                 f"expected {self.k} SR folders, got {len(sr_folders)}")
-        exts = {".jpg", ".jpeg", ".png", ".bmp"}
-        stems = None
-        folder_files: List[Dict[str, Path]] = []
-        for folder in [gt_folder, *sr_folders]:
-            files = {f.stem: f for f in Path(folder).iterdir()
-                     if f.suffix.lower() in exts}
-            folder_files.append(files)
-            stems = set(files) if stems is None else stems & set(files)
-        stems = sorted(stems or ())
-        if not stems:
-            raise ValueError("no stems common to GT and all SR folders")
+        stems, folder_files = _match_stems(gt_folder, sr_folders)
+        model_names = _sr_model_names(sr_folders)
         if maps_dir:
             Path(maps_dir).mkdir(parents=True, exist_ok=True)
-        model_names = [os.path.basename(str(f).rstrip("/")) for f in sr_folders]
-
-        size = self.preprocess.size
-        bs = self.batch_size
-
-        def decode(path) -> Optional[np.ndarray]:
-            try:
-                return self.preprocess.decode_uint8(str(path))
-            except Exception:
-                return None
 
         rows = []
         with cf.ThreadPoolExecutor(max_workers=num_workers) as pool:
-            for start in range(0, len(stems), bs):
-                chunk = stems[start: start + bs]
-                paths = [[ff[s] for ff in folder_files] for s in chunk]
-                decoded = list(pool.map(
-                    lambda group: [decode(p) for p in group], paths))
-                gt = np.zeros((bs, size, size, 3), np.uint8)
-                sr = np.zeros((bs, self.k, size, size, 3), np.uint8)
-                ok = np.zeros((bs,), bool)
-                for i, imgs in enumerate(decoded):
-                    if all(im is not None for im in imgs):
-                        gt[i] = imgs[0]
-                        sr[i] = np.stack(imgs[1:])
-                        ok[i] = True
+            for chunk, gt, sr, ok in _decoded_group_chunks(
+                    self.preprocess, stems, folder_files, self.k,
+                    self.batch_size, pool):
                 maps = np.asarray(
                     jax.device_get(self.score_arrays(gt, sr)), np.float32)
                 for i, s in enumerate(chunk):

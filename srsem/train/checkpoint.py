@@ -27,9 +27,13 @@ def save_checkpoint(directory: str, step: int, tree: Dict[str, Any],
 
     ``keep_last``: retention policy — after a successful write, delete all
     but the newest N ``step_*.msgpack`` files (None = keep everything, the
-    reference's per-epoch torch.save behavior).  Pruning never touches the
-    file just written and only runs after ``latest.json`` points at it, so
-    a crash mid-prune can't lose the newest checkpoint."""
+    reference's per-epoch torch.save behavior).  Files with step numbers
+    GREATER than the one just written are leftovers from a previous run in
+    a reused directory (``latest.json`` no longer points at them) and are
+    pruned as stale rather than squatting in the keep_last slots.  Pruning
+    never touches the file just written and only runs after
+    ``latest.json`` points at it, so a crash mid-prune can't lose the
+    newest checkpoint."""
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, f"step_{step}.msgpack")
     tree = jax.device_get(tree)
@@ -43,7 +47,9 @@ def save_checkpoint(directory: str, step: int, tree: Dict[str, Any],
             for name in os.listdir(directory)
             if name.startswith("step_") and name.endswith(".msgpack")
             and name[len("step_"):-len(".msgpack")].isdigit())
-        for old in steps[:-keep_last]:
+        fresh = [s for s in steps if s <= step]
+        stale = [s for s in steps if s > step]
+        for old in stale + fresh[:-keep_last]:
             if old != step:
                 os.remove(os.path.join(directory,
                                        f"step_{old}.msgpack"))

@@ -36,7 +36,7 @@ local to every device — no GSPMD reshards anywhere in the epoch program
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -47,7 +47,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from srsem.backbones.resnet import make_backbone
 from srsem.core.config import GlobalModelConfig, TrainConfig
 from srsem.core.meshes import DATA_AXIS, create_mesh, replicate, shard_batch
-from srsem.models.global_models import ConvHeadAggregator, stage_taps_for
+from srsem.models.global_models import ConvHeadAggregator
 from srsem.train.metrics import mse as mse_metric, srcc
 from srsem.train.multisweep import SweepPoint
 from srsem.train.steps import masked_mse
@@ -178,13 +178,15 @@ def train_global_sweep_cached_diffs(
     (a0, b0), _ = next(iter(train_loader))[0]
     a0 = jnp.asarray(a0[:1])
     bparams = replicate(mesh, backbone.init(rng, a0)["params"])
-    _, taps0 = backbone.apply({"params": jax.device_get(bparams)}, a0)
+    # Tap SHAPES only — eval_shape traces without running the tower (an
+    # eager forward here is seconds of serial host work).
+    _, taps0 = jax.eval_shape(backbone.apply, {"params": bparams}, a0)
 
     aggs, head_params = [], []
     for i, p in enumerate(points):
         names = p.tap_names(kind)
         agg = ConvHeadAggregator(len(names))
-        diffs0 = [jnp.zeros_like(taps0[n], jnp.float32) for n in names]
+        diffs0 = [jnp.zeros(taps0[n].shape, jnp.float32) for n in names]
         aggs.append(agg)
         head_params.append(
             agg.init(jax.random.fold_in(rng, i), diffs0)["params"])
@@ -413,8 +415,6 @@ def train_local_cached_diffs(
                                    mesh, cache_dtype, max_cache_bytes)
     val_cache = build_local_diff_cache(model, backbone, bparams, val_loader,
                                        mesh, cache_dtype, max_cache_bytes)
-
-    import optax
 
     tx = optax.adam(tcfg.lr)
     opt_state = tx.init(trainable)

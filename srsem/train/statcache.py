@@ -27,7 +27,8 @@ sufficient statistic; it keeps the diff cache.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+import threading
+from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -42,7 +43,6 @@ from srsem.models.global_models import (
     ConvHeadAggregator,
     conv_head_from_stats,
     conv_head_params,
-    stage_taps_for,
 )
 from srsem.train.metrics import mse as mse_metric, srcc
 from srsem.train.multisweep import SweepPoint
@@ -221,6 +221,11 @@ def fit_token_head_closed_form(
 
 
 _SOLVE_CACHE: Dict[tuple, object] = {}
+_SOLVE_LOCK = threading.Lock()
+# Reusable jitted val-prediction program (the closed-form sweep calls it
+# once per point per invocation — a fresh jax.jit wrapper there would
+# retrace every time).
+_predict_from_stats = jax.jit(conv_head_from_stats)
 
 
 def _closed_form_solve_fn(names: tuple, dims: tuple, l2: float,
@@ -230,17 +235,19 @@ def _closed_form_solve_fn(names: tuple, dims: tuple, l2: float,
     re-tracing.  ``label_transform`` identity keys the cache — pass the
     same callable object for hits.  The callable itself (not its id) is
     the key component: holding the reference prevents a GC'd transform's
-    recycled id from aliasing a stale jitted solve."""
+    recycled id from aliasing a stale jitted solve.  Lookup/evict/insert
+    run under one lock — serving refits come from HTTP handler threads."""
     key = (names, dims, l2, label_transform)
-    cached = _SOLVE_CACHE.get(key)
-    if cached is not None:
-        return cached
-    if len(_SOLVE_CACHE) >= 64:
-        # Bound the cache: fresh per-call lambdas (a common SweepPoint
-        # pattern) never hit, and each entry pins a compiled executable +
-        # the transform's closure.  FIFO eviction (dict preserves
-        # insertion order) keeps long-lived serving processes flat.
-        _SOLVE_CACHE.pop(next(iter(_SOLVE_CACHE)))
+    with _SOLVE_LOCK:
+        cached = _SOLVE_CACHE.get(key)
+        if cached is not None:
+            return cached
+        if len(_SOLVE_CACHE) >= 64:
+            # Bound the cache: fresh per-call lambdas (a common SweepPoint
+            # pattern) never hit, and each entry pins a compiled executable
+            # + the transform's closure.  FIFO eviction (dict preserves
+            # insertion order) keeps long-lived serving processes flat.
+            _SOLVE_CACHE.pop(next(iter(_SOLVE_CACHE)), None)
     L = len(names)
 
     @jax.jit
@@ -271,8 +278,8 @@ def _closed_form_solve_fn(names: tuple, dims: tuple, l2: float,
         mse = jnp.sum(m * (pred - yv) ** 2) / jnp.maximum(m.sum(), 1.0)
         return theta, mse
 
-    _SOLVE_CACHE[key] = solve
-    return solve
+    with _SOLVE_LOCK:
+        return _SOLVE_CACHE.setdefault(key, solve)
 
 
 def solve_global_sweep_closed_form(
@@ -316,7 +323,7 @@ def solve_global_sweep_closed_form(
             cache, names, l2=l2, label_transform=p.label_transform)
         sel = [val_cache.stats[nm] for nm in names]
         pred = np.asarray(jax.device_get(
-            jax.jit(conv_head_from_stats)(fit["params"], sel)))[keep]
+            _predict_from_stats(fit["params"], sel)))[keep]
         y_true = y_val[keep]
         if p.label_transform:
             y_true = np.asarray(p.label_transform(jnp.asarray(y_true)))
@@ -361,15 +368,6 @@ def train_global_sweep_cached_stats(
     (a0, _b0), _ = next(iter(train_loader))[0]
     a0 = jnp.asarray(a0[:1])
     bparams = replicate(mesh, backbone.init(rng, a0)["params"])
-    _, taps0 = backbone.apply({"params": jax.device_get(bparams)}, a0)
-
-    head_params = []
-    for i, p in enumerate(points):
-        names = p.tap_names(kind)
-        agg = ConvHeadAggregator(len(names))
-        diffs0 = [jnp.zeros_like(taps0[n], jnp.float32) for n in names]
-        head_params.append(
-            agg.init(jax.random.fold_in(rng, i), diffs0)["params"])
 
     tap_union = sorted({n for p in points for n in p.tap_names(kind)})
     cache = build_stat_cache(backbone, bparams, tap_union, train_loader, mesh)
@@ -382,6 +380,18 @@ def train_global_sweep_cached_stats(
                 cache, p.tap_names(kind),
                 label_transform=p.label_transform)["params"]
             for p in points]
+    else:
+        # Tap SHAPES only — eval_shape traces without running the tower
+        # (an eager forward here is seconds of serial host work).
+        _, taps0 = jax.eval_shape(
+            backbone.apply, {"params": bparams}, a0)
+        head_params = []
+        for i, p in enumerate(points):
+            names = p.tap_names(kind)
+            agg = ConvHeadAggregator(len(names))
+            diffs0 = [jnp.zeros(taps0[n].shape, jnp.float32) for n in names]
+            head_params.append(
+                agg.init(jax.random.fold_in(rng, i), diffs0)["params"])
 
     tx = optax.adam(tcfg.lr)
     opt_states = [tx.init(hp) for hp in head_params]
@@ -443,13 +453,18 @@ def train_global_sweep_cached_stats(
             body, None, stats, length=next(iter(stats.values())).shape[0])
         return jnp.moveaxis(preds, 1, 0)  # (P, n_batches, batch)
 
-    keys = jax.random.split(rng, tcfg.epochs + 1)
-    perms = jnp.stack([jax.random.permutation(k, cache.n_batches)
-                       for k in keys[1:]])
-    perms = jax.device_put(perms, NamedSharding(mesh, P()))
-    head_params, opt_states, last_losses = train_all_epochs(
-        head_params, opt_states, perms, cache.stats, cache.y, cache.mask)
-    last_losses = np.asarray(jax.device_get(last_losses))
+    if tcfg.epochs > 0:
+        keys = jax.random.split(rng, tcfg.epochs + 1)
+        perms = jnp.stack([jax.random.permutation(k, cache.n_batches)
+                           for k in keys[1:]])
+        perms = jax.device_put(perms, NamedSharding(mesh, P()))
+        head_params, opt_states, last_losses = train_all_epochs(
+            head_params, opt_states, perms, cache.stats, cache.y, cache.mask)
+        last_losses = np.asarray(jax.device_get(last_losses))
+    else:
+        # epochs=0: evaluate the (possibly closed-form) init untouched —
+        # the diffcache path's contract for the same input.
+        last_losses = np.zeros((len(points),), np.float32)
 
     preds = np.asarray(jax.device_get(
         predict_all(head_params, val_cache.stats)))

@@ -220,3 +220,12 @@ def test_convert_albef_cli_roundtrip(np_rng, tmp_path):
     # so the CLI path exercises the load-time pos-embed interpolation:
     # 1 cls + 2*2 patches.
     assert tree["vit"]["pos_embed"].shape == (1, 5, 96)
+
+    # --patch declares the checkpoint's patch size: at patch 8 the same
+    # 32px target lands back on the native grid 4 — no interpolation.
+    rc = main(["convert", str(ckpt), "--kind", "albef",
+               "--image-size", "32", "--patch", "8", "--out", str(out)])
+    assert rc == 0
+    with open(out, "rb") as f:
+        tree = serialization.msgpack_restore(f.read())
+    assert tree["vit"]["pos_embed"].shape == (1, 17, 96)

@@ -458,3 +458,13 @@ def test_saliency_cli(tmp_path):
                "--random-init", "--height", "64", "--width", "64"])
     assert rc == 0
     assert {p.name: p.stat().st_mtime_ns for p in out.iterdir()} == before
+
+
+def test_convert_rejects_nonpositive_image_size(tmp_path):
+    """--image-size 0/negative is an argument error, not a silent fall
+    back to the per-kind default (review r4)."""
+    for bad in ("0", "-16"):
+        with pytest.raises(SystemExit, match="image-size"):
+            main(["convert", str(tmp_path / "missing.pt"), "--kind",
+                  "albef", "--image-size", bad,
+                  "--out", str(tmp_path / "o.msgpack")])

@@ -166,3 +166,39 @@ def test_grouped_vit_matches_pairwise(head, depth):
     b = pre.device_normalize(jnp.asarray(sr.reshape(g * k, 64, 64, 3)))
     want = np.asarray(jax.device_get(model.apply(variables, a, b)))
     np.testing.assert_allclose(got.reshape(-1), want, rtol=1e-4, atol=1e-5)
+
+
+def test_sr_model_names_disambiguate_collisions():
+    """Two SR runs sharing a model dir basename must not collide into one
+    score column (review r4: the dict comprehension silently dropped one
+    model's scores)."""
+    from srsem.eval.grouped import _sr_model_names
+
+    assert _sr_model_names(["/runA/esrgan", "/runB/esrgan"]) == [
+        "runA__esrgan", "runB__esrgan"]
+    assert _sr_model_names(["/a/esrgan/", "/b/swinir"]) == [
+        "esrgan", "swinir"]
+    with pytest.raises(ValueError, match="unique"):
+        _sr_model_names(["/a/m", "/a/m"])
+
+
+def test_match_stems_deterministic_extension_tiebreak(tmp_path):
+    """A stem present under two extensions picks the lexicographically
+    first filename on every machine — never filesystem iteration order
+    (review r4)."""
+    from srsem.eval.grouped import _match_stems
+
+    gt = tmp_path / "gt"
+    sr = tmp_path / "sr"
+    gt.mkdir()
+    sr.mkdir()
+    for n in ("im2.png", "im2.jpg", "im3.png"):
+        (gt / n).write_bytes(b"x")
+    (sr / "im2.png").write_bytes(b"x")
+    (sr / "im3.jpg").write_bytes(b"x")
+    stems, folder_files = _match_stems(str(gt), [str(sr)])
+    assert stems == ["im2", "im3"]
+    assert folder_files[0]["im2"].name == "im2.jpg"
+
+    with pytest.raises(ValueError, match="common"):
+        _match_stems(str(tmp_path / "gt"), [str(tmp_path)])

@@ -307,3 +307,27 @@ def test_closed_form_token_heads():
     fit_pl = fit_token_head_closed_form(cache, names, shared=False, l2=0.0)
     pred_pl = np.asarray(token_head_from_stats(fit_pl["params"], sel))
     np.testing.assert_allclose(pred_pl, y, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_stat_sweep_epochs_zero_returns_init():
+    """tcfg.epochs == 0 returns the initialized heads gracefully (the
+    diffcache path's documented contract) instead of crashing on an empty
+    permutation stack (review r4)."""
+    cfg = GlobalModelConfig(
+        backbone=BackboneConfig(kind="resnet50", image_size=64,
+                                compute_dtype="float32"),
+        head="stages_cnn", depth=3)
+    tcfg = TrainConfig(lr=1e-3, batch_size=8, epochs=0, seed=0)
+    ds = PairDataset(n=8)
+    loader = Loader(ds, batch_size=8, shuffle=False, num_workers=2)
+    points = depth_grid(depths=(2,))
+
+    results = train_global_sweep_cached_stats(
+        points, cfg, tcfg, loader, loader, rng=jax.random.PRNGKey(0))
+    assert len(results) == 1
+    assert results[0]["train_loss"] == 0.0
+    assert np.isfinite(results[0]["val_mse"])
+    n_heads = len([k for k in results[0]["head_params"]
+                   if k.startswith("w_layers")])
+    assert n_heads == 3

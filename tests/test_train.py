@@ -72,6 +72,24 @@ def test_checkpoint_retention(tmp_path):
                 if f.startswith("step_")]) == 3
 
 
+def test_checkpoint_retention_prunes_stale_higher_steps(tmp_path):
+    """A reused checkpoint_dir holding step files from a PREVIOUS longer
+    run: those higher-numbered leftovers are unreachable via latest.json
+    once the new run saves, so retention prunes them instead of letting
+    them squat in the keep_last slots and evict fresh epochs."""
+    import os
+
+    save_checkpoint(str(tmp_path), 30, {"w": np.ones(3)})  # previous run
+    for step in (1, 2, 3):
+        save_checkpoint(str(tmp_path), step,
+                        {"w": step * np.ones(3)}, keep_last=2)
+    files = sorted(f for f in os.listdir(tmp_path)
+                   if f.startswith("step_"))
+    assert files == ["step_2.msgpack", "step_3.msgpack"]
+    restored = restore_checkpoint(str(tmp_path), {"w": np.zeros(3)})
+    np.testing.assert_array_equal(restored["w"], 3 * np.ones(3))
+
+
 def test_orbax_checkpointer_roundtrip(tmp_path):
     """OrbaxCheckpointer save → restore round-trip (the sharding-aware
     multi-host path, srsem/train/checkpoint.py:61-83); latest-step
