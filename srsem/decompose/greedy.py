@@ -75,8 +75,12 @@ class GreedyDecomposer:
         if self.mode in ("w_filt_rec", "w_rec"):
             basis = comps if self.mode == "w_filt_rec" else originals
             cos = _cosine(target, basis)
-            cos = cos / cos.sum()
-            return jnp.sum(basis * cos[:, None], axis=0)
+            # Reference math (greedy_decomposer.py:78-107) with only the
+            # exact-zero denominator guarded, sign-preserving — mixed-sign
+            # cosines summing to ~0 would otherwise emit NaN/Inf weights.
+            s = cos.sum()
+            s = jnp.where(jnp.abs(s) < 1e-12, 1e-12, s)
+            return jnp.sum(basis * (cos / s)[:, None], axis=0)
         if self.mode == "filt_rec":
             return jnp.mean(comps, axis=0)
         if self.mode == "rec":

@@ -54,11 +54,19 @@ class SpliceDecomposer:
         self.image_mean = np.asarray(image_mean, np.float32)
         self.vocab = np.asarray(vocab) if vocab is not None else None
         self.rank_search_max_iter = rank_search_max_iter
-        # hint cache: {solver: {l0_norm: l1_penalty}}
+        # hint cache: {solver: {l0_norm: l1_penalty}}.  ``l1_hints``
+        # accepts both a flat {rank: l1} mapping (applied to admm — the
+        # reference's precomputed l1p_hint_*.json files) and the nested
+        # {"skl": {...}, "admm": {...}} form save_l1p_hint writes, so the
+        # save → with_hints_file round-trip works.
         self.l1p_hint: Dict[str, Dict[int, float]] = {"skl": {}, "admm": {}}
         if l1_hints:
-            self.l1p_hint["admm"].update(
-                {int(k): float(v) for k, v in l1_hints.items()})
+            nested = (set(l1_hints) <= {"skl", "admm"}
+                      and all(isinstance(v, dict) for v in l1_hints.values()))
+            per_solver = (l1_hints if nested else {"admm": l1_hints})
+            for solver, hints in per_solver.items():
+                self.l1p_hint[solver].update(
+                    {int(k): float(v) for k, v in hints.items()})
         self._factors = precompute_factors(jnp.asarray(self.concepts), rho)
 
     # ---- hint cache ------------------------------------------------------

@@ -128,6 +128,12 @@ class RamProjector:
         tag_embs = jnp.asarray(self.encode_text(tags))
         tag_embs = tag_embs / jnp.linalg.norm(tag_embs, axis=0).clip(1e-12)
         dots = tag_embs @ img_emb
-        weights = dots / jnp.sum(dots).clip(1e-12)
+        # Plain dots/dots.sum() like the reference (ram/model_wrapper.py:
+        # 39-64) — a negative sum divides by the NEGATIVE sum (clipping it
+        # to +eps would blow weights up to ~1e12 with flipped sign); only
+        # the exact-zero singularity is guarded, sign-preserving.
+        s = jnp.sum(dots)
+        s = jnp.where(jnp.abs(s) < 1e-12, 1e-12, s)
+        weights = dots / s
         rec = jnp.sum(tag_embs * weights[:, None], axis=0)
         return (rec, tags) if self.ret_concepts else rec

@@ -12,8 +12,11 @@ ViT taps are token sequences; the class token is dropped and the rest
 reshaped to the patch grid — the reference's ``reshape_transform``
 (reference: gcam_utils.py:10-17).
 
-The whole CAM (forward + backward + weighting) is one jitted program per
-(tap, image-shape) pair.
+``grad_cam_matrix`` compiles ONE jitted program per (tap, image shape)
+and reuses it for all n² cells — the target embedding is a traced
+argument, so fresh targets never retrace (srsem.explain.targets are pure
+jnp closures).  Single ``grad_cam`` calls stay eager: a one-shot CAM is
+cheaper than a compile.
 """
 
 from __future__ import annotations
@@ -25,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from srsem.ops.image import resize_bilinear
+from srsem.ops.image import resize_bilinear, resize_bilinear_mxu
 
 Array = jax.Array
 
@@ -60,14 +63,15 @@ def grad_cam(
     (N, out_h, out_w) float32 in [0, 1].
     """
     img = jnp.asarray(img)
-    _, taps0 = embed_fn(img, None)
-    act0 = taps0[tap_name]
+    # Shape probe only — eval_shape traces without running the tower.
+    act0 = jax.eval_shape(embed_fn, img, None)[1][tap_name]
 
     def objective(eps):
         emb, taps = embed_fn(img, {tap_name: eps})
         return jnp.sum(target_fn(emb)), taps[tap_name]
 
-    grad, act = jax.grad(objective, has_aux=True)(jnp.zeros_like(act0))
+    grad, act = jax.grad(objective, has_aux=True)(
+        jnp.zeros(act0.shape, act0.dtype))
     cam = _cam_from(act.astype(jnp.float32), grad.astype(jnp.float32), grid_hw)
     if out_hw is not None:
         cam = resize_bilinear(cam[..., None], out_hw)[..., 0]
@@ -85,12 +89,44 @@ def grad_cam_matrix(
 ) -> np.ndarray:
     """All-pairs CAM grid: CAM of image i under the target built from
     embedding j → (n, n, H, W)
-    (reference: gcam_utils.py:23-36 compute_gradcams_matrix)."""
+    (reference: gcam_utils.py:23-36 compute_gradcams_matrix).
+
+    One jitted forward+backward+weighting program per distinct image
+    shape, executed n² times — the target embedding is an argument of the
+    traced function, so every cell reuses the compiled executable."""
     n = len(images)
+    imgs = [jnp.asarray(im)[None] if np.ndim(im) == 3 else jnp.asarray(im)
+            for im in images]
+    embeddings = jnp.asarray(embeddings)
+    programs = {}
+
+    def program_for(img):
+        key = (img.shape, str(img.dtype))
+        if key not in programs:
+            act0 = jax.eval_shape(embed_fn, img, None)[1][tap_name]
+
+            @jax.jit
+            def cam_pair(img, emb, act0=act0):
+                target_fn = target_factory(emb)
+
+                def objective(eps):
+                    e, taps = embed_fn(img, {tap_name: eps})
+                    return jnp.sum(target_fn(e)), taps[tap_name]
+
+                grad, act = jax.grad(objective, has_aux=True)(
+                    jnp.zeros(act0.shape, act0.dtype))
+                cam = _cam_from(act.astype(jnp.float32),
+                                grad.astype(jnp.float32), grid_hw)
+                # matmul resize inside jit — gathers don't pipeline on
+                # TPU (CLAUDE.md; numerically identical in f32).
+                return resize_bilinear_mxu(cam[..., None], out_hw)[..., 0]
+
+            programs[key] = cam_pair
+        return programs[key]
+
     out = np.empty((n, n, *out_hw), np.float32)
     for i in range(n):
+        cam_pair = program_for(imgs[i])
         for j in range(n):
-            out[i, j] = grad_cam(
-                embed_fn, images[i][None] if images[i].ndim == 3 else images[i],
-                tap_name, target_factory(embeddings[j]), out_hw, grid_hw)[0]
+            out[i, j] = np.asarray(cam_pair(imgs[i], embeddings[j]))[0]
     return out

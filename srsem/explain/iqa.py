@@ -29,21 +29,27 @@ import numpy as np
 Array = jax.Array
 
 
+def _separable_filter(x: Array, kernel_1d: Array) -> Array:
+    """Valid-mode separable depthwise filter: the 1-D kernel applied along
+    H then W.  x: (N, H, W, C)."""
+    window = kernel_1d.shape[0]
+    c = x.shape[-1]
+    kh = jnp.tile(kernel_1d.reshape(window, 1, 1, 1), (1, 1, 1, c))
+    x = jax.lax.conv_general_dilated(
+        x, kh, (1, 1), "VALID", feature_group_count=c,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    kw = jnp.tile(kernel_1d.reshape(1, window, 1, 1), (1, 1, 1, c))
+    return jax.lax.conv_general_dilated(
+        x, kw, (1, 1), "VALID", feature_group_count=c,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 def _box_filter_mean(x: Array, window: int) -> Array:
     """Per-pixel mean over a replicate-padded window×window neighborhood via
     separable depthwise convolution.  x: (N, H, W, C)."""
     half = window // 2
     x = jnp.pad(x, ((0, 0), (half, half), (half, half), (0, 0)), mode="edge")
-    kernel = jnp.ones((window, 1), x.dtype) / window
-    c = x.shape[-1]
-    kh = jnp.tile(kernel.reshape(window, 1, 1, 1), (1, 1, 1, c))
-    x = jax.lax.conv_general_dilated(
-        x, kh, (1, 1), "VALID", feature_group_count=c,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    kw = jnp.tile(kernel.reshape(1, window, 1, 1), (1, 1, 1, c))
-    return jax.lax.conv_general_dilated(
-        x, kw, (1, 1), "VALID", feature_group_count=c,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return _separable_filter(x, jnp.ones((window,), x.dtype) / window)
 
 
 def _gaussian_kernel(window: int, sigma: float) -> np.ndarray:
@@ -54,16 +60,7 @@ def _gaussian_kernel(window: int, sigma: float) -> np.ndarray:
 
 def _gaussian_filter(x: Array, window: int, sigma: float) -> Array:
     """Valid-mode separable Gaussian filter (SSIM convention)."""
-    g = jnp.asarray(_gaussian_kernel(window, sigma))
-    c = x.shape[-1]
-    kh = jnp.tile(g.reshape(window, 1, 1, 1), (1, 1, 1, c))
-    x = jax.lax.conv_general_dilated(
-        x, kh, (1, 1), "VALID", feature_group_count=c,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    kw = jnp.tile(g.reshape(1, window, 1, 1), (1, 1, 1, c))
-    return jax.lax.conv_general_dilated(
-        x, kw, (1, 1), "VALID", feature_group_count=c,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return _separable_filter(x, jnp.asarray(_gaussian_kernel(window, sigma)))
 
 
 @partial(jax.jit, static_argnames=("data_range",))

@@ -261,7 +261,10 @@ def generate_saliency_maps(model_apply, variables, image_dir: str,
     for name in sorted(os.listdir(image_dir)):
         if not name.endswith(exts):
             continue
-        out_path = os.path.join(out_dir, name.split(".")[0] + ".npy")
+        # rsplit: keep dotted stems intact ('a.v1.jpg' → 'a.v1.npy') — the
+        # consumer saliency_path_for (srsem/eval/approaches.py:31-36)
+        # strips only the final extension.
+        out_path = os.path.join(out_dir, name.rsplit(".", 1)[0] + ".npy")
         if os.path.exists(out_path):
             continue
         img = Image.open(os.path.join(image_dir, name)).convert("RGB")

@@ -16,29 +16,15 @@ import numpy as np
 
 
 def _resize_bilinear_np(m: np.ndarray, out_hw) -> np.ndarray:
-    """Pure-numpy half-pixel bilinear resize of a 2-D map — numerically
-    the same convention as srsem.ops.image.resize_bilinear
-    (align_corners=False), but with NO jax import: the visualization path
-    must never initialize a device backend (on the deployment host the
-    default backend is the single TPU behind the axon relay, and a
-    plotting CLI grabbing the chip can hang behind a serve/bench claim).
-    """
-    out_h, out_w = out_hw
-    m = np.asarray(m, np.float32)
+    """Pure-numpy half-pixel bilinear resize of a 2-D map — the shared
+    no-jax kernel (srsem/ops/npimage.py): the visualization path must
+    never initialize a device backend (on the deployment host the default
+    backend is the single TPU behind the axon relay, and a plotting CLI
+    grabbing the chip can hang behind a serve/bench claim)."""
+    from srsem.ops.npimage import resize_bilinear_np
 
-    def axis(out_size: int, in_size: int):
-        idx = np.arange(out_size, dtype=np.float32)
-        coords = np.clip((idx + 0.5) * (in_size / out_size) - 0.5,
-                         0.0, float(in_size - 1))
-        lo = np.clip(np.floor(coords).astype(np.int64), 0, in_size - 1)
-        hi = np.clip(lo + 1, 0, in_size - 1)
-        return lo, hi, coords - lo
-
-    lo, hi, fr = axis(out_h, m.shape[0])
-    m = m[lo] * (1.0 - fr)[:, None] + m[hi] * fr[:, None]
-    lo, hi, fr = axis(out_w, m.shape[1])
-    m = m[:, lo] * (1.0 - fr)[None, :] + m[:, hi] * fr[None, :]
-    return m
+    return resize_bilinear_np(np.asarray(m, np.float32), tuple(out_hw),
+                              align_corners=False)
 
 
 def overlay_cam(image01: np.ndarray, cam01: np.ndarray,
@@ -115,7 +101,11 @@ def plot_cam_matrix(images01: Sequence[np.ndarray], cams: np.ndarray,
             if i == 0 and col_labels is not None:
                 ax.set_title(col_labels[j], fontsize=8)
             if j == 0 and row_labels is not None:
-                ax.set_ylabel(row_labels[i], fontsize=8)
+                # axis('off') hides ylabel — draw the row label as text in
+                # axes coordinates so it actually renders.
+                ax.text(-0.06, 0.5, row_labels[i], fontsize=8,
+                        rotation=90, va="center", ha="right",
+                        transform=ax.transAxes)
     fig.tight_layout()
     return fig
 

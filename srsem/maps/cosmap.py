@@ -75,15 +75,27 @@ def write_cosine_map_dataset(
 
     ``records``: (img_a_pth, img_b_pth, panoptic_of_a, caps_a, caps_b).
     Skips already-written maps so folder jobs are resumable.
+
+    Map filenames carry the parent FOLDER as well as the stem: the KonIQ
+    SR layout keeps the same filename in every folder (HQ/123.jpg,
+    bsrgan_out/123.png, ...), so bare stems would collide every SR
+    variant of one image onto a single .pkl and the skip-existing branch
+    would silently alias them all to the first pair's map.  Consumers
+    never parse the name — they read ``out_paths`` from the CSV
+    (reference: datasets/local_eval_torch_ds.py:10-42).
     """
     import pandas as pd
 
     os.makedirs(out_dir, exist_ok=True)
+
+    def slug(path: str) -> str:
+        stem = os.path.splitext(os.path.basename(path))[0]
+        parent = os.path.basename(os.path.dirname(os.path.abspath(path)))
+        return f"{parent}_{stem}" if parent else stem
+
     rows: List[dict] = []
     for img_a, img_b, panoptic, caps_a, caps_b in records:
-        stem_a = os.path.splitext(os.path.basename(img_a))[0]
-        stem_b = os.path.splitext(os.path.basename(img_b))[0]
-        out_path = os.path.join(out_dir, f"{stem_a}__{stem_b}.pkl")
+        out_path = os.path.join(out_dir, f"{slug(img_a)}__{slug(img_b)}.pkl")
         if not os.path.exists(out_path):
             cosmap, ncaps = assemble_cosine_map(
                 panoptic, caps_a, caps_b, embedder)

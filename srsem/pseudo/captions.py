@@ -96,15 +96,25 @@ def enumerate_pairs(
     offline runs need no real folder tree).  The reference also pairs
     HQ with itself via its own listing (reference:
     qwen_caps_embedding_script.py:97-105) — kept.
+
+    The HQ path uses the HQ folder's OWN listing for the extension
+    (merge_caption_dicts keys captions by the actual filename, so a
+    hardcoded ``<stem>.jpg`` would KeyError on .png HQ folders); stems
+    missing from the HQ listing fall back to ``.jpg``, the reference's
+    KonIQ convention (qwen_caps_embedding_script.py:99).
     """
     hq_folder = hq_folder or folders[0]
+    hq_names = {im.split(".")[0]: im
+                for im in listings.get(hq_folder, [])
+                if im.endswith((".jpg", ".png"))}
     hq_of: Dict[str, List[str]] = {}
     pairs: List[Tuple[str, str]] = []
     for folder in folders:
         for im in listings.get(folder, []):
             if not im.endswith((".jpg", ".png")):
                 continue
-            hq = os.path.join(hq_folder, im.split(".")[0] + ".jpg")
+            stem = im.split(".")[0]
+            hq = os.path.join(hq_folder, hq_names.get(stem, stem + ".jpg"))
             sr = os.path.join(folder, im)
             pairs.append((hq, sr))
             hq_of.setdefault(hq, []).append(sr)

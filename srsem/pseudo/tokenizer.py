@@ -231,7 +231,15 @@ class WordPieceTokenizer:
         self.pad = self.vocab.get("[PAD]", 0)
 
     def _split(self, text: str) -> List[str]:
-        text = text.lower()
+        import unicodedata
+
+        # BERT-uncased normalization: lowercase AND strip accents (NFD +
+        # drop combining marks) — HF's do_lower_case implies
+        # strip_accents, so 'café' must tokenize as 'cafe', not [UNK]
+        # (parity with the sentence-transformers MiniLM tokenizer).
+        text = unicodedata.normalize("NFD", text.lower())
+        text = "".join(c for c in text
+                       if unicodedata.category(c) != "Mn")
         text = re.sub(r"([^\w\s])", r" \1 ", text)
         return text.split()
 

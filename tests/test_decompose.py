@@ -125,3 +125,36 @@ def test_find_all_basis_rank_range_shares_hints(dictionary):
         assert int(np.count_nonzero(w[0])) == rank
     # hint cache accumulated entries across the sweep
     assert len(sp.l1p_hint["admm"]) >= len(out)
+
+
+def test_splice_hint_file_roundtrip(tmp_path, dictionary):
+    """save_l1p_hint → with_hints_file round-trips (nested {solver: {rank:
+    l1}} form), and the flat {rank: l1} reference hint format still loads
+    (review r4)."""
+    mean = np.zeros(16, np.float32)
+    sp = SpliceDecomposer(dictionary, mean)
+    sp.l1p_hint["admm"][5] = 0.25
+    sp.l1p_hint["skl"][7] = 0.125
+    path = tmp_path / "hints.json"
+    sp.save_l1p_hint(str(path))
+
+    sp2 = SpliceDecomposer.with_hints_file(dictionary, mean, str(path))
+    assert sp2.l1p_hint["admm"][5] == 0.25
+    assert sp2.l1p_hint["skl"][7] == 0.125
+
+    import json
+
+    flat = tmp_path / "flat.json"
+    flat.write_text(json.dumps({"5": 0.5}))
+    sp3 = SpliceDecomposer.with_hints_file(dictionary, mean, str(flat))
+    assert sp3.l1p_hint["admm"][5] == 0.5
+
+
+def test_greedy_weighted_modes_finite_on_zero_sum(dictionary):
+    """w_rec/w_filt_rec guard the exact-zero cosine-sum singularity —
+    output stays finite (review r4)."""
+    target = dictionary[0] - dictionary[1]  # mixed-sign cosines likely
+    for mode in ("w_rec", "w_filt_rec"):
+        dec = GreedyDecomposer(dictionary, rank=4, mode=mode)
+        out = np.asarray(dec(target))
+        assert np.isfinite(out).all()

@@ -68,3 +68,37 @@ def test_assemble_cosine_map_missing_caption_defaults():
     cosmap, ncaps = assemble_cosine_map(
         panoptic, {0: "x"}, {0: "x"}, HashingTextEmbedder(), default=0.0)
     np.testing.assert_allclose(cosmap[2:, :], 0.0)
+
+
+def test_cosine_map_dataset_folder_aware_filenames(tmp_path):
+    """Pairs sharing a stem across SR folders (the KonIQ layout keeps one
+    filename per folder) must write DISTINCT .pkl maps — bare stems
+    collided them all onto the first pair's map via skip-existing
+    (review r4)."""
+    import pickle
+
+    import pandas as pd
+
+    from srsem.maps.cosmap import write_cosine_map_dataset
+
+    pan = np.zeros((4, 4), np.int64)
+    pan[:, 2:] = 1
+    caps_same = {0: "a dog", 1: "a cat"}
+    caps_diff = {0: "a truck", 1: "a boat"}
+    records = [
+        ("HQ/123.jpg", "srA/123.png", pan, caps_same, caps_same),
+        ("HQ/123.jpg", "srB/123.png", pan, caps_same, caps_diff),
+    ]
+    out_dir = tmp_path / "maps"
+    csv = tmp_path / "filt_refs.csv"
+    write_cosine_map_dataset(records, HashingTextEmbedder(),
+                             str(out_dir), str(csv))
+    refs = pd.read_csv(csv)
+    assert len(set(refs["out_paths"])) == 2
+    maps = []
+    for p in refs["out_paths"]:
+        with open(p, "rb") as f:
+            maps.append(pickle.load(f))
+    # identical captions → all-ones map; differing captions → not
+    np.testing.assert_allclose(maps[0], 1.0, atol=1e-5)
+    assert not np.allclose(maps[1], 1.0, atol=1e-5)

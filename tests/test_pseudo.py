@@ -127,3 +127,15 @@ def test_score_c2i_and_embed_folder(tmp_path):
     scores = score_c2i(caps, embs, HashingTextEmbedder(dim=8))
     assert set(scores) == {"0", "1", "2"}
     assert all(-1.001 <= v <= 1.001 for v in scores.values())
+
+
+def test_enumerate_pairs_png_hq_folder():
+    """The HQ path comes from the HQ folder's OWN listing, so a .png HQ
+    set keys consistently with merge_caption_dicts instead of emitting
+    nonexistent '<stem>.jpg' paths (review r4)."""
+    folders = ["HQ", "srA"]
+    listings = {"HQ": ["1.png"], "srA": ["1.png"]}
+    pairs = enumerate_pairs(folders, listings)
+    hq = os.path.join("HQ", "1.png")
+    assert (hq, os.path.join("srA", "1.png")) in pairs
+    assert all(a == hq for a, _ in pairs)

@@ -288,3 +288,32 @@ def test_transalnet_converter_parity(np_rng):
         {"params": tree["params"], "batch_stats": tree["batch_stats"]},
         jnp.asarray(x), train=False))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_generate_saliency_maps_keeps_dotted_stems(tmp_path):
+    """'a.v1.jpg' → 'a.v1.npy' (rsplit), matching what
+    srsem.eval.approaches.saliency_path_for looks up; split('.')[0] used
+    to collide dotted names onto one file via skip-existing (review r4)."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from srsem.explain.saliency import generate_saliency_maps
+
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    for name in ("a.v1.jpg", "a.v2.jpg"):
+        Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(imgs / name)
+    out = tmp_path / "SaliencyMaps"
+
+    def fake_apply(variables, x):
+        return jnp.zeros(x.shape[:3])
+
+    n = generate_saliency_maps(fake_apply, {}, str(imgs), str(out),
+                               image_size=(8, 8))
+    assert n == 2
+    assert sorted(p.name for p in out.iterdir()) == ["a.v1.npy", "a.v2.npy"]
+
+    from srsem.eval.approaches import saliency_path_for
+
+    # the consumer's lookup convention lands on the written filename
+    assert saliency_path_for(str(imgs / "a.v1.jpg")).endswith("a.v1.npy")

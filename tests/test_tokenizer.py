@@ -130,3 +130,18 @@ def test_wordpiece(tmp_path):
     row1 = ids[1][mask[1] == 1].tolist()
     assert row1 == [v["[CLS]"], v["un"], v["##related"], v["[UNK]"],
                     v["[SEP]"]]
+
+
+def test_wordpiece_strips_accents(tmp_path):
+    """BERT-uncased lowercasing implies accent stripping (NFD + drop Mn):
+    'Café' must tokenize as 'cafe', not [UNK] — HF MiniLM parity
+    (review r4)."""
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "cafe", "uber"]
+    path = tmp_path / "vocab.txt"
+    path.write_text("\n".join(vocab) + "\n")
+    tok = WordPieceTokenizer(str(path), max_length=8)
+    out = tok(["Café Über"])
+    ids, mask = out["input_ids"], out["attention_mask"]
+    v = {t: i for i, t in enumerate(vocab)}
+    assert ids[0][mask[0] == 1].tolist() == [
+        v["[CLS]"], v["cafe"], v["uber"], v["[SEP]"]]
