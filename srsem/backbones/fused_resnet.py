@@ -107,14 +107,9 @@ def _attnpool(p: dict, x: Array, dtype) -> Array:
     mean = jnp.mean(tokens, axis=1, keepdims=True)
     tokens = jnp.concatenate([mean, tokens], axis=1)
 
-    pos = p["positional_embedding"]
-    if pos.shape[0] != tokens.shape[1]:
-        cls_pos, grid_pos = pos[:1], pos[1:]
-        side = int(round(float(grid_pos.shape[0]) ** 0.5))
-        grid_pos = jax.image.resize(
-            grid_pos.reshape(side, side, c), (h, w, c),
-            method="bilinear").reshape(h * w, c)
-        pos = jnp.concatenate([cls_pos, grid_pos], axis=0)
+    from srsem.ops.image import interpolate_pos_embed
+
+    pos = interpolate_pos_embed(p["positional_embedding"], (h, w))
     tokens = tokens.astype(dtype) + pos.astype(dtype)
 
     dense = lambda name, t: (  # noqa: E731

@@ -202,15 +202,12 @@ class AttentionPool2d(nn.Module):
             (self.spatial * self.spatial + 1, c),
             jnp.float32,
         )
-        if pos.shape[0] != tokens.shape[1]:
-            # Bilinear pos-embed interpolation for non-224 inputs, mirroring
-            # the reference's ALBEF-style resize (SURVEY.md §2.6).
-            cls_pos, grid_pos = pos[:1], pos[1:]
-            side = int(round(float(grid_pos.shape[0]) ** 0.5))
-            grid_pos = jax.image.resize(
-                grid_pos.reshape(side, side, c), (h, w, c), method="bilinear"
-            ).reshape(h * w, c)
-            pos = jnp.concatenate([cls_pos, grid_pos], axis=0)
+        # Bilinear pos-embed interpolation for non-224 inputs
+        # (srsem/ops/image.py::interpolate_pos_embed; no-op when sizes
+        # match).
+        from srsem.ops.image import interpolate_pos_embed
+
+        pos = interpolate_pos_embed(pos, (h, w))
         tokens = tokens.astype(self.dtype) + pos.astype(self.dtype)
 
         dense = lambda name, feats: nn.Dense(  # noqa: E731

@@ -118,14 +118,9 @@ class ClipViT(nn.Module):
         nominal = self.pos_grid
         pos = self.param("pos_embed", nn.initializers.normal(0.02),
                          (1, nominal * nominal + 1, self.width), jnp.float32)
-        if pos.shape[1] != gh * gw + 1:
-            cls_pos, grid_pos = pos[:, :1], pos[:, 1:]
-            side = int(round(float(grid_pos.shape[1]) ** 0.5))
-            grid_pos = jax.image.resize(
-                grid_pos.reshape(side, side, self.width),
-                (gh, gw, self.width), method="bilinear",
-            ).reshape(1, gh * gw, self.width)
-            pos = jnp.concatenate([cls_pos, grid_pos], axis=1)
+        from srsem.ops.image import interpolate_pos_embed
+
+        pos = interpolate_pos_embed(pos, (gh, gw))
         tokens = tokens + pos.astype(self.dtype)
         if self.use_norm_pre:
             tokens = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32,

@@ -27,7 +27,8 @@ import numpy as np
 import pandas as pd
 from PIL import Image
 
-from srsem.ops.image import CLIP_MEAN, CLIP_STD, resize_bilinear
+from srsem.ops.image import CLIP_MEAN, CLIP_STD
+from srsem.ops.npimage import resize_bilinear_np
 
 
 def parse_bbox_string(bboxs: str) -> List[int]:
@@ -78,10 +79,18 @@ class InpaintContrastiveDataset:
 
     def __init__(self, root: str, instances_csv: str = None):
         instances = pd.read_csv(instances_csv or os.path.join(root, "instances.csv"))
-        negatives = np.array(sorted(os.listdir(os.path.join(root, "impainted_proposals"))))
-        neg_idx = np.array([int(n.split("_")[0]) for n in negatives])
-        positives = np.array(sorted(os.listdir(os.path.join(root, "positive_pairs"))))
-        pos_ids = np.array([int(p.split("_")[0]) for p in positives])
+
+        def indexed(folder: str):
+            # Skip bookkeeping files without a numeric id prefix
+            # (.gitkeep, Thumbs.db, ...) instead of crashing the whole
+            # dataset construction on int().
+            names = [n for n in sorted(os.listdir(os.path.join(root, folder)))
+                     if n.split("_")[0].isdigit()]
+            return (np.array(names),
+                    np.array([int(n.split("_")[0]) for n in names], np.int64))
+
+        negatives, neg_idx = indexed("impainted_proposals")
+        positives, pos_ids = indexed("positive_pairs")
 
         self.samples = []
         for j, row in instances.iterrows():
@@ -134,7 +143,9 @@ class InpaintContrastiveDataset:
         x0, y0, x1, y1 = grow_box_to_size(
             x0, y0, x0 + w, y0 + h, self.IM_WIDTH, im_w, im_h)
         crop = imgs[:, math.floor(y0):math.ceil(y1), math.floor(x0):math.ceil(x1), :]
-        crop = np.asarray(resize_bilinear(
-            crop, (self.IM_WIDTH, self.IM_WIDTH), align_corners=False))
+        # Host-side numpy resize — no device dispatch from loader threads
+        # (srsem/ops/npimage.py, parity-pinned vs the JAX kernel).
+        crop = resize_bilinear_np(
+            crop, (self.IM_WIDTH, self.IM_WIDTH), align_corners=False)
         return (crop.astype(np.float32), np.asarray(labels, np.int32),
                 np.full((len(labels),), idx, np.int32))

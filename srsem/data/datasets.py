@@ -16,7 +16,7 @@ import numpy as np
 import pandas as pd
 
 from srsem.data.preprocess import Preprocess
-from srsem.ops.image import resize_bilinear
+from srsem.ops.npimage import resize_bilinear_np
 
 
 class UserStudyScores:
@@ -96,7 +96,11 @@ class KoniqPairsMapsDataset:
                      hw) -> np.ndarray:
         if t is not None:
             cosmap = (cosmap > t).astype(np.float32)
-        return np.asarray(resize_bilinear(cosmap, hw, align_corners=False))
+        # Pure-numpy on host: a jnp resize here would dispatch a tiny op
+        # to the default device from every loader worker thread,
+        # serializing against the jitted train step on the one-claim axon
+        # TPU (srsem/ops/npimage.py — parity-pinned vs the JAX kernel).
+        return resize_bilinear_np(cosmap, hw, align_corners=False)
 
     def __getitem__(self, idx: int):
         row = self.df.iloc[idx]

@@ -89,14 +89,22 @@ class Loader:
             return False
 
         def produce():
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                for idxs in batches:
-                    if stop.is_set():
-                        return
-                    samples = list(pool.map(self.dataset.__getitem__, idxs))
-                    if not put(pad_batch(collate(samples), self.batch_size)):
-                        return
+            # A dataset error must reach the CONSUMER: if this thread died
+            # without enqueueing a sentinel, the unbounded q.get() below
+            # would hang the training run forever instead of raising.
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    for idxs in batches:
+                        if stop.is_set():
+                            return
+                        samples = list(
+                            pool.map(self.dataset.__getitem__, idxs))
+                        if not put(pad_batch(collate(samples),
+                                             self.batch_size)):
+                            return
                 put(None)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                put(e)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
@@ -105,6 +113,8 @@ class Loader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -30,10 +30,17 @@ from srsem.ops.image import resize_bilinear
 
 def saliency_path_for(img_path: str) -> str:
     """Insert "SaliencyMaps" as the 2nd path component, swap ext
-    (reference: compute_metrics.py:130-134)."""
+    (reference: compute_metrics.py:130-134 — byte-identical on the
+    relative paths the reference uses).  Two hardenings over the
+    reference: absolute paths skip the leading root component (the
+    reference's literal insert(1) would produce /SaliencyMaps/... at the
+    filesystem root), and only the FILENAME's extension is swapped (a
+    dotted parent directory must not truncate the path)."""
     parts = img_path.split(os.sep)
-    parts.insert(1, "SaliencyMaps")
-    return os.sep.join(parts).rsplit(".", 1)[0] + ".npy"
+    parts.insert(2 if parts and parts[0] == "" else 1, "SaliencyMaps")
+    name = parts[-1]
+    parts[-1] = (name.rsplit(".", 1)[0] if "." in name else name) + ".npy"
+    return os.sep.join(parts)
 
 
 def load_saliency(img_path: str) -> Optional[np.ndarray]:

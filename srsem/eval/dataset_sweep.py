@@ -228,11 +228,25 @@ class DualScorer:
             jax.device_put(gt_u8, data), jax.device_put(sr_u8, data))
         return scores[:g], maps[:g]
 
+    def _decode_one(self, path: str) -> np.ndarray:
+        if self.decode_backend == "native":
+            # C++ decode (GIL-free inside the thread pool; srsem/native) —
+            # same contract as PairScorer._decode_one.
+            img = self.preprocess.decode_uint8_native(path)
+            if img is None:
+                raise IOError(f"native decode failed: {path}")
+            return img
+        return self.preprocess.decode_uint8(path)
+
     def score_folders(self, gt_folder: str, sr_folder: str,
-                      exts=(".jpg", ".png"),
-                      map_reduce: str = "mean") -> "pd.DataFrame":
+                      exts=(".jpg", ".png")) -> "pd.DataFrame":
         """Match stems, score every pair → DataFrame(image, score,
-        map_summary).  NaN rows on decode failure."""
+        map_mean, map_min).  NaN rows on decode failure.  Host decode runs
+        in a ``num_workers`` thread pool honoring ``decode_backend``, and
+        chunk i+1 decodes while chunk i runs on device — the same
+        double-buffering as PairScorer.score_paths."""
+        import concurrent.futures as cf
+
         import pandas as pd
 
         gt = {os.path.splitext(f)[0]: os.path.join(gt_folder, f)
@@ -243,29 +257,42 @@ class DualScorer:
         rows = []
         bs = self.batch_size
         size = self.preprocess.size
-        for start in range(0, len(names), bs):
-            chunk = names[start: start + bs]
-            a = np.zeros((bs, size, size, 3), np.uint8)
-            b = np.zeros_like(a)
-            ok = np.zeros((bs,), bool)
-            for i, name in enumerate(chunk):
-                try:
-                    a[i] = self.preprocess.decode_uint8(gt[name])
-                    b[i] = self.preprocess.decode_uint8(sr[name])
-                    ok[i] = True
-                except Exception:
-                    pass
-            data = batch_sharding(self.mesh)
-            scores, maps = self._score_both(
-                self._gvars, self._lvars,
-                jax.device_put(a, data), jax.device_put(b, data))
-            scores = np.array(jax.device_get(scores), np.float32, copy=True)
-            maps = np.asarray(jax.device_get(maps), np.float32)
-            for i, name in enumerate(chunk):
-                rows.append({
-                    "image": name,
-                    "score": float(scores[i]) if ok[i] else np.nan,
-                    "map_mean": float(maps[i].mean()) if ok[i] else np.nan,
-                    "map_min": float(maps[i].min()) if ok[i] else np.nan,
-                })
+        data = batch_sharding(self.mesh)
+
+        def safe_pair(name):
+            try:
+                return self._decode_one(gt[name]), self._decode_one(sr[name])
+            except Exception:
+                return None
+
+        chunks = [names[i: i + bs] for i in range(0, len(names), bs)]
+        with cf.ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            submit = lambda chunk: [  # noqa: E731
+                pool.submit(safe_pair, n) for n in chunk]
+            pending = submit(chunks[0]) if chunks else None
+            for ci, chunk in enumerate(chunks):
+                futures, pending = pending, (
+                    submit(chunks[ci + 1]) if ci + 1 < len(chunks) else None)
+                a = np.zeros((bs, size, size, 3), np.uint8)
+                b = np.zeros_like(a)
+                ok = np.zeros((bs,), bool)
+                for i, fut in enumerate(futures):
+                    d = fut.result()
+                    if d is not None:
+                        a[i], b[i] = d
+                        ok[i] = True
+                scores, maps = self._score_both(
+                    self._gvars, self._lvars,
+                    jax.device_put(a, data), jax.device_put(b, data))
+                scores = np.array(jax.device_get(scores), np.float32,
+                                  copy=True)
+                maps = np.asarray(jax.device_get(maps), np.float32)
+                for i, name in enumerate(chunk):
+                    rows.append({
+                        "image": name,
+                        "score": float(scores[i]) if ok[i] else np.nan,
+                        "map_mean": (float(maps[i].mean())
+                                     if ok[i] else np.nan),
+                        "map_min": float(maps[i].min()) if ok[i] else np.nan,
+                    })
         return pd.DataFrame(rows)

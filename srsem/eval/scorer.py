@@ -86,7 +86,6 @@ class PairScorer:
 
             self.model = make_local_model(
                 cfg, split_tower=self.mesh.shape[DATA_AXIS] > 1)
-        self._variables = variables
 
         repl = replicated_sharding(self.mesh)
         data = batch_sharding(self.mesh)

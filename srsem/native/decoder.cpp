@@ -124,6 +124,11 @@ bool decode_png(const uint8_t* data, size_t len, Image* out) {
     png_destroy_read_struct(&png, nullptr, nullptr);
     return false;
   }
+  // Constructed BEFORE setjmp: a png_error longjmp must not jump over a
+  // non-trivial local's initialization (UB + leaks its heap block on
+  // every corrupt PNG in a long-lived serve process).  Declared here, its
+  // destructor runs on the normal return after the setjmp error branch.
+  std::vector<png_bytep> rows;
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     return false;
@@ -143,7 +148,7 @@ bool decode_png(const uint8_t* data, size_t len, Image* out) {
     return false;
   }
   out->rgb.resize(size_t(out->w) * out->h * 3);
-  std::vector<png_bytep> rows(out->h);
+  rows.resize(out->h);
   for (int y = 0; y < out->h; ++y)
     rows[y] = out->rgb.data() + size_t(y) * out->w * 3;
   png_read_image(png, rows.data());
@@ -260,7 +265,7 @@ int decode_one(const char* path, int size, double crop_pct, int fast_jpeg,
   if (!read_file(path, &buf) || buf.size() < 8) return 1;
   Image img;
   bool ok = false;
-  const int min_edge = fast_jpeg ? int(std::lround(size / crop_pct)) : 0;
+  const int min_edge = fast_jpeg ? int(std::llrint(size / crop_pct)) : 0;
   if (buf[0] == 0xFF && buf[1] == 0xD8) {
     ok = decode_jpeg(buf.data(), buf.size(), &img, min_edge);
   } else if (buf[0] == 0x89 && buf[1] == 'P') {
@@ -271,14 +276,19 @@ int decode_one(const char* path, int size, double crop_pct, int fast_jpeg,
   }
   if (!ok || img.w <= 0 || img.h <= 0) return 2;
 
-  const int scale_size = int(std::lround(size / crop_pct));
+  // Python round() is round-half-to-EVEN; std::lround is half-away-from
+  // -zero — they disagree on exact .5 (e.g. 224.5), which would shift the
+  // intermediate size and the center crop by a pixel vs the PIL path
+  // (srsem/data/preprocess.py:92-95).  std::llrint under the default
+  // FE_TONEAREST mode rounds half-to-even, matching Python.
+  const int scale_size = int(std::llrint(size / crop_pct));
   int new_w, new_h;
   if (img.w <= img.h) {
     new_w = scale_size;
-    new_h = std::max(1, int(std::lround(double(img.h) * scale_size / img.w)));
+    new_h = std::max(1, int(std::llrint(double(img.h) * scale_size / img.w)));
   } else {
     new_h = scale_size;
-    new_w = std::max(1, int(std::lround(double(img.w) * scale_size / img.h)));
+    new_w = std::max(1, int(std::llrint(double(img.w) * scale_size / img.h)));
   }
   std::vector<float> tmp;
   std::vector<uint8_t> resized;

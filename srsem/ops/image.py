@@ -154,3 +154,28 @@ CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
 CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def interpolate_pos_embed(pos: Array, grid_hw: Tuple[int, int]) -> Array:
+    """Resize a [cls | H·W grid] positional table to a new patch grid.
+
+    Bilinear over the square source grid, cls token untouched — the
+    reference's ALBEF-style pos-embed interpolation (SURVEY.md §2.6,
+    albef/model_wrapper.py:58-60).  Accepts (T, C) or (1, T, C); the one
+    implementation is shared by AttentionPool2d (backbones/resnet.py),
+    ClipViT (backbones/vit.py) and the fused attnpool
+    (backbones/fused_resnet.py).
+    """
+    squeeze = pos.ndim == 2
+    p = pos if pos.ndim == 3 else pos[None]
+    c = p.shape[-1]
+    gh, gw = grid_hw
+    if p.shape[1] == gh * gw + 1:
+        return pos
+    cls_pos, grid_pos = p[:, :1], p[:, 1:]
+    side = int(round(float(grid_pos.shape[1]) ** 0.5))
+    grid_pos = jax.image.resize(
+        grid_pos.reshape(side, side, c), (gh, gw, c),
+        method="bilinear").reshape(1, gh * gw, c)
+    out = jnp.concatenate([cls_pos, grid_pos], axis=1)
+    return out[0] if squeeze else out

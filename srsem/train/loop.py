@@ -83,7 +83,7 @@ def run_training(
     val_metrics = {}
     for epoch in range(cfg.epochs):
         t0 = time.time()
-        epoch_loss, n_batches = 0.0, 0
+        epoch_loss, n_batches = jnp.zeros(()), 0
         for ((a, b), y), mask in train_loader:
             images = shard_batch(mesh, (jnp.asarray(a), jnp.asarray(b)))
             y_d, mask_d = shard_batch(mesh, (jnp.asarray(y), jnp.asarray(mask)))
@@ -91,16 +91,18 @@ def run_training(
                 trainable, opt_state, frozen, batch_stats, images, y_d, mask_d)
             step += 1
             n_batches += 1
-            loss_f = float(loss)
-            epoch_loss += loss_f
+            # Accumulate on DEVICE: float(loss) every step would block the
+            # host until the step finishes, killing async dispatch and the
+            # loader's prefetch overlap; the host syncs only at log_every.
+            epoch_loss = epoch_loss + loss
             if step % cfg.log_every == 0:
-                writer.write(step, {"train_loss_batch": loss_f})
+                writer.write(step, {"train_loss_batch": float(loss)})
 
         val_metrics = evaluate(steps, trainable, frozen, batch_stats,
                                val_loader, mesh, is_map_model)
         writer.write(step, {
             "epoch": epoch,
-            "train_loss_epoch": epoch_loss / max(1, n_batches),
+            "train_loss_epoch": float(epoch_loss) / max(1, n_batches),
             "epoch_seconds": time.time() - t0,
             **{f"val_{k}": v for k, v in val_metrics.items()},
         })

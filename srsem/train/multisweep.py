@@ -89,13 +89,15 @@ def train_global_sweep_shared_tower(
     bvars = backbone.init(rng, a0)
     bparams = bvars["params"]
 
-    # Per-point heads initialized on real tap shapes.
-    _, taps0 = backbone.apply({"params": bparams}, a0)
+    # Per-point heads initialized on tap SHAPES — eval_shape traces
+    # without running the tower (an eager forward here is seconds of
+    # serial host work; same fix as diffcache/statcache).
+    _, taps0 = jax.eval_shape(backbone.apply, {"params": bparams}, a0)
     aggs, head_params = [], []
     for i, p in enumerate(points):
         names = p.tap_names(kind)
         agg = ConvHeadAggregator(len(names))
-        diffs0 = [jnp.zeros_like(taps0[n], jnp.float32) for n in names]
+        diffs0 = [jnp.zeros(taps0[n].shape, jnp.float32) for n in names]
         hp = agg.init(jax.random.fold_in(rng, i), diffs0)["params"]
         aggs.append(agg)
         head_params.append(hp)
@@ -105,14 +107,23 @@ def train_global_sweep_shared_tower(
 
     tap_union = sorted({n for p in points for n in p.tap_names(kind)})
 
+    def tower_taps(bp, a, b):
+        # Two per-image applies, never a 2N concat: concatenating two
+        # data-sharded N-batches makes GSPMD reshard the 2N result every
+        # step (a cross-device collective riding ICI on real multi-chip
+        # meshes) — every sibling tower path (CLU sweep below, diffcache,
+        # statcache, GroupedPairScorer) already splits for this reason.
+        # Identical numerics: the tower's BN is frozen.
+        def taps_of(x):
+            _, taps = backbone.apply({"params": bp}, x)
+            return {k: jax.lax.stop_gradient(v) for k, v in taps.items()
+                    if k in tap_union}
+
+        return taps_of(a), taps_of(b)
+
     @jax.jit
     def multi_train_step(heads, opts, bp, a, b, y, mask):
-        n = a.shape[0]
-        _, taps = backbone.apply({"params": bp}, jnp.concatenate([a, b]))
-        taps = {k: jax.lax.stop_gradient(v) for k, v in taps.items()
-                if k in tap_union}
-        taps_a = {k: v[:n] for k, v in taps.items()}
-        taps_b = {k: v[n:] for k, v in taps.items()}
+        taps_a, taps_b = tower_taps(bp, a, b)
 
         new_heads, new_opts, losses = [], [], []
         for i, p in enumerate(points):  # static unroll over grid points
@@ -133,10 +144,7 @@ def train_global_sweep_shared_tower(
 
     @jax.jit
     def multi_eval_step(heads, bp, a, b):
-        n = a.shape[0]
-        _, taps = backbone.apply({"params": bp}, jnp.concatenate([a, b]))
-        taps_a = {k: taps[k][:n] for k in tap_union}
-        taps_b = {k: taps[k][n:] for k in tap_union}
+        taps_a, taps_b = tower_taps(bp, a, b)
         preds = []
         for i, p in enumerate(points):
             diffs = squared_diffs(taps_a, taps_b, p.tap_names(kind))
@@ -148,6 +156,7 @@ def train_global_sweep_shared_tower(
     opt_states = replicate(mesh, opt_states)
 
     last_losses = np.zeros(len(points))
+    losses = None
     for epoch in range(tcfg.epochs):
         for batch in train_loader:
             # Masked-form batches only: (((a, b), y), mask) — the
@@ -158,6 +167,7 @@ def train_global_sweep_shared_tower(
                                                np.asarray(mask, np.float32)))
             head_params, opt_states, losses = multi_train_step(
                 head_params, opt_states, bparams, a, b, y, mask)
+    if losses is not None:  # empty loader / epochs=0 keeps the zeros
         last_losses = np.asarray(jax.device_get(losses))
 
     # Validation: predictions per point over the val stream (padded rows
@@ -319,6 +329,7 @@ def train_local_sweep_shared_tower(
     opt_states = replicate(mesh, opt_states)
 
     last_losses = np.zeros(n_pts)
+    losses = None
     for _epoch in range(tcfg.epochs):
         for ((a, b), y), mask in train_loader:
             a, b, y, mask = shard_batch(
@@ -327,6 +338,7 @@ def train_local_sweep_shared_tower(
                        np.asarray(mask, np.float32)))
             trainables, opt_states, stats_list, losses = multi_train_step(
                 trainables, opt_states, stats_list, frozen, a, b, y, mask)
+    if losses is not None:  # empty loader / epochs=0 keeps the zeros
         last_losses = np.asarray(jax.device_get(losses))
 
     sq_err = np.zeros(n_pts)

@@ -183,8 +183,12 @@ def train_nr_iqa(
     if checkpoint_dir:
         from srsem.train.checkpoint import save_checkpoint
 
+        # The tower is random-init from PRNGKey(seed): the head is only
+        # meaningful against THAT tower, so the seed rides along and
+        # load_nr_iqa_head rebuilds the same one.
         save_checkpoint(checkpoint_dir, len(losses),
-                        {"trainable": jax.device_get(trainable)})
+                        {"trainable": jax.device_get(trainable),
+                         "tower_seed": np.int32(seed)})
     return NrIqaTrainResult(variables=out_vars, losses=losses, val_mse=val_mse)
 
 
@@ -195,11 +199,15 @@ def load_nr_iqa_head(checkpoint_dir: str, image_size: int = 224,
     weights in production; srsem.utils.convert.convert_torch_resnet50)."""
     from srsem.train.checkpoint import restore_checkpoint
 
+    raw = restore_checkpoint(checkpoint_dir)
+    # Rebuild the SAME random tower the head was trained against — the
+    # training seed rides in the checkpoint (older checkpoints without it
+    # were all trained at the former hardcoded seed 0).
+    seed = int(raw.get("tower_seed", 0))
     model = NrIqaHead(compute_dtype=compute_dtype)
-    variables = model.init(jax.random.PRNGKey(0),
+    variables = model.init(jax.random.PRNGKey(seed),
                            jnp.zeros((1, image_size, image_size, 3)))
     trainable, frozen = partition_params(
         variables["params"], trainable_predicate(backbone_key="backbone"))
-    raw = restore_checkpoint(checkpoint_dir)
     restored = jax.tree.map(jnp.asarray, raw["trainable"])
     return {"params": merge_params(restored, frozen)}

@@ -81,8 +81,6 @@ def make_clu_train_fn(csv_path: str, base_tcfg=None):
     (reference: CLU_training_sweep_example.py:92-180)."""
 
     def train_fn(point):
-        import dataclasses
-
         from srsem.core.config import (BackboneConfig, LocalModelConfig,
                                        TrainConfig)
         from srsem.data.datasets import (KoniqPairsMapsDataset, Subset,
@@ -92,7 +90,10 @@ def make_clu_train_fn(csv_path: str, base_tcfg=None):
         from srsem.train.loop import train_local
 
         tcfg = base_tcfg or TrainConfig(batch_size=80, epochs=60)
-        tcfg = dataclasses.replace(tcfg, map_threshold=point["threshold"])
+        # Binarization happens in the DATASET (threshold= below,
+        # binarize-then-resize like the reference) — TrainConfig.
+        # map_threshold is the serve-path knob and is not read by
+        # train_local, so it is deliberately not set here.
         cfg = LocalModelConfig(
             backbone=BackboneConfig(kind=point["backbone_kind"]),
             lora_rank=point["lora_rank"])

@@ -82,3 +82,18 @@ def test_inpaint_skips_rows_missing_either_side(tmp_path):
         root / "instances.csv", index=False)
     ds = InpaintContrastiveDataset(str(root))
     assert len(ds) == 0  # no positives/negatives on disk
+
+
+def test_inpaint_tolerates_bookkeeping_files(inpaint_tree):
+    """Stray non-numeric-prefixed files (.gitkeep, Thumbs.db) in the
+    proposal/positive dirs are skipped, not a construction-time
+    ValueError (review r4)."""
+    import pathlib
+
+    root = pathlib.Path(inpaint_tree)
+    (root / "impainted_proposals" / ".gitkeep").write_text("")
+    (root / "positive_pairs" / "Thumbs.db").write_bytes(b"\x00")
+    ds = InpaintContrastiveDataset(inpaint_tree)
+    assert len(ds) == 2
+    imgs, labels, idx = ds[0]
+    assert imgs.shape == (4, 224, 224, 3)

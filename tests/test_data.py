@@ -123,3 +123,22 @@ def test_preprocess_center_crop_geometry():
     pre2 = Preprocess(size=32, crop_pct=0.875)
     out2 = pre2.decode_uint8(img)
     assert out2.shape == (32, 32, 3)
+
+
+def test_loader_propagates_dataset_errors():
+    """A dataset exception must raise in the CONSUMER, not kill the
+    producer thread and hang q.get() forever (review r4)."""
+
+    class Broken:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            if i == 2:
+                raise FileNotFoundError("missing image")
+            z = np.zeros((4, 4, 3), np.float32)
+            return (z, z), np.float32(0.0)
+
+    loader = Loader(Broken(), batch_size=4, num_workers=2)
+    with pytest.raises(FileNotFoundError, match="missing image"):
+        list(loader)

@@ -138,3 +138,21 @@ def test_grad_cam_matrix_all_pairs(rng):
     assert cams.shape == (2, 2, 64, 64)
     assert np.isfinite(cams).all()
     assert cams.max() <= 1.0 + 1e-6 and cams.min() >= 0.0
+
+
+def test_saliency_path_for_conventions():
+    """Relative paths keep reference parity (insert at component 2 —
+    compute_metrics.py:130-134); absolute paths skip the root instead of
+    producing /SaliencyMaps at the filesystem root; only the FILENAME's
+    extension is swapped (review r4)."""
+    import os
+
+    from srsem.eval.approaches import saliency_path_for
+
+    sep = os.sep
+    assert saliency_path_for(sep.join(["imgs", "hq", "1.png"])) == \
+        sep.join(["imgs", "SaliencyMaps", "hq", "1.npy"])
+    assert saliency_path_for(sep.join(["", "data", "hq", "1.png"])) == \
+        sep.join(["", "data", "SaliencyMaps", "hq", "1.npy"])
+    assert saliency_path_for(sep.join(["a.b", "hq", "img"])) == \
+        sep.join(["a.b", "SaliencyMaps", "hq", "img.npy"])

@@ -102,3 +102,23 @@ def test_train_nr_iqa_end_to_end(tmp_path):
     for row in rows:
         for col in OUTPUT_NAMES:
             assert np.isfinite(row[col]), (col, row)
+
+
+@pytest.mark.slow
+def test_load_nr_iqa_head_rebuilds_training_tower(tmp_path):
+    """The checkpoint carries the tower seed: a head trained at seed != 0
+    restores against the SAME random tower, so predictions round-trip
+    (review r4 — load used a hardcoded PRNGKey(0))."""
+    imgs = _images(8)
+    result = train_nr_iqa(imgs, epochs=1, batch_size=4, lr=1e-2, seed=3,
+                          checkpoint_dir=str(tmp_path / "ckpt"))
+
+    from srsem.train.nr_iqa import NrIqaHead, load_nr_iqa_head
+
+    variables = load_nr_iqa_head(str(tmp_path / "ckpt"), image_size=64,
+                                 compute_dtype=jnp.float32)
+    model = NrIqaHead(compute_dtype=jnp.float32)
+    x = jnp.asarray(imgs[:2])
+    want = np.asarray(model.apply(result.variables, x))
+    got = np.asarray(model.apply(variables, x))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

@@ -85,3 +85,50 @@ def test_numpy_resize_matches_jax_resize(np_rng):
         a = _resize_bilinear_np(m, out_hw)
         b = np.asarray(resize_bilinear(m[None, ..., None], out_hw))[0, ..., 0]
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_numpy_resize_matches_jax_kernel(np_rng):
+    """srsem.ops.npimage.resize_bilinear_np (the host loader-thread
+    resize — no device dispatch from __getitem__) equals the JAX kernel
+    across ranks and both align_corners conventions (review r4)."""
+    from srsem.ops.npimage import resize_bilinear_np
+
+    cases = (((8, 12), (32, 48)), ((13, 9), (7, 5)), ((4, 4), (9, 9)))
+    for ac in (False, True):
+        for in_hw, out_hw in cases:
+            m2 = np_rng.standard_normal(in_hw).astype(np.float32)
+            np.testing.assert_allclose(
+                resize_bilinear_np(m2, out_hw, align_corners=ac),
+                np.asarray(resize_bilinear(m2, out_hw, align_corners=ac)),
+                rtol=1e-5, atol=1e-6)
+            m4 = np_rng.standard_normal((2,) + in_hw + (3,)).astype(np.float32)
+            np.testing.assert_allclose(
+                resize_bilinear_np(m4, out_hw, align_corners=ac),
+                np.asarray(resize_bilinear(m4, out_hw, align_corners=ac)),
+                rtol=1e-5, atol=1e-6)
+
+
+def test_interpolate_pos_embed_shared_helper(np_rng):
+    """interpolate_pos_embed: no-op on matching grids, bilinear cls+grid
+    resize otherwise, rank-2 and rank-3 layouts (shared by AttentionPool2d
+    / ClipViT / fused attnpool — review r4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from srsem.ops.image import interpolate_pos_embed
+
+    pos = np_rng.standard_normal((17, 8)).astype(np.float32)  # 4x4 grid
+    same = interpolate_pos_embed(jnp.asarray(pos), (4, 4))
+    np.testing.assert_array_equal(np.asarray(same), pos)
+
+    out = np.asarray(interpolate_pos_embed(jnp.asarray(pos), (2, 2)))
+    assert out.shape == (5, 8)
+    np.testing.assert_allclose(out[0], pos[0])  # cls untouched
+    want = np.asarray(jax.image.resize(
+        jnp.asarray(pos[1:]).reshape(4, 4, 8), (2, 2, 8),
+        method="bilinear")).reshape(4, 8)
+    np.testing.assert_allclose(out[1:], want, rtol=1e-6)
+
+    out3 = np.asarray(interpolate_pos_embed(jnp.asarray(pos)[None], (2, 2)))
+    assert out3.shape == (1, 5, 8)
+    np.testing.assert_allclose(out3[0], out, rtol=1e-6)
