@@ -717,6 +717,60 @@ def cmd_serve(args) -> int:
     return run_serve(args)
 
 
+def cmd_info(args) -> int:
+    """Deployment diagnostic: versions, host, native decoder, env knobs.
+
+    Headless by default — nothing here creates a JAX device client (on the
+    deployment host the default backend is the single axon-relayed TPU,
+    one claim at a time), so ``srsem info`` is safe to run next to a live
+    ``serve``.  ``--devices`` opts into probing the real backend;
+    ``--native`` additionally builds/loads the C++ decoder (compiles the
+    shared library on first use).  One JSON object on stdout."""
+    import platform
+
+    from importlib import metadata
+
+    def _version(dist: str) -> str:
+        try:
+            return metadata.version(dist)
+        except metadata.PackageNotFoundError:
+            return "not-installed"
+
+    import jax  # version attrs only — no backend/client initialization
+
+    import srsem
+
+    out: Dict[str, Any] = {
+        "srsem": getattr(srsem, "__version__", _version("srsem")),
+        "python": platform.python_version(),
+        "platform": platform.platform(),
+        "cpu_count": os.cpu_count(),
+        "versions": {d: _version(d)
+                     for d in ("jaxlib", "flax", "optax", "orbax-checkpoint",
+                               "numpy", "torch")},
+        "jax": jax.__version__,
+        "env": {k: os.environ.get(k)
+                for k in ("JAX_PLATFORMS", "XLA_FLAGS",
+                          "JAX_COMPILATION_CACHE_DIR", "SRSEM_BENCH_ONLY")
+                if k in os.environ},
+    }
+    if args.native:
+        from srsem import native
+
+        out["native_decoder"] = {"available": native.available(),
+                                 "build_error": native.build_error()}
+    if args.devices:
+        # THIS claims the default backend (the TPU on the serving host).
+        devs = jax.devices()
+        out["backend"] = {
+            "default": jax.default_backend(),
+            "device_count": len(devs),
+            "devices": [f"{d.platform}:{d.device_kind}" for d in devs],
+        }
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_saliency(args) -> int:
     """Generate the ``SaliencyMaps/`` .npy tree for an image folder.
 
@@ -1217,6 +1271,16 @@ def main(argv=None) -> int:
                         "differences vs the full decode")
     p.add_argument("--out-template", default="scores_{folder}.csv")
     p.set_defaults(fn=cmd_sweep_dataset)
+
+    p = sub.add_parser(
+        "info", help="environment diagnostic: versions, host, native "
+                     "decoder, env knobs (headless unless --devices)")
+    p.add_argument("--devices", action="store_true",
+                   help="probe the JAX backend (claims the device — avoid "
+                        "next to a live serve on single-chip hosts)")
+    p.add_argument("--native", action="store_true",
+                   help="build/load the C++ decoder and report its status")
+    p.set_defaults(fn=cmd_info)
 
     p = sub.add_parser(
         "visualize",

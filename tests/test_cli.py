@@ -468,3 +468,24 @@ def test_convert_rejects_nonpositive_image_size(tmp_path):
             main(["convert", str(tmp_path / "missing.pt"), "--kind",
                   "albef", "--image-size", bad,
                   "--out", str(tmp_path / "o.msgpack")])
+
+
+def test_info_cli(capsys):
+    """`srsem info` is headless JSON: versions + host facts, native decoder
+    status behind --native, no device probing unless --devices."""
+    rc = main(["info", "--native"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["jax"] and out["cpu_count"] >= 1
+    assert "flax" in out["versions"] and "jaxlib" in out["versions"]
+    assert isinstance(out["native_decoder"]["available"], bool)
+    assert "backend" not in out  # headless by default
+
+
+def test_info_cli_devices(capsys):
+    """--devices probes the backend (safe in-suite: conftest pins cpu)."""
+    rc = main(["info", "--devices"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["backend"]["default"] == "cpu"
+    assert out["backend"]["device_count"] >= 1
