@@ -754,6 +754,12 @@ def cmd_info(args) -> int:
                           "JAX_COMPILATION_CACHE_DIR", "SRSEM_BENCH_ONLY")
                 if k in os.environ},
     }
+    # The axon-relay knob decides which backend serve/bench will claim —
+    # surface presence + pool size, not the addresses themselves.
+    pool = os.environ.get("PALLAS_AXON_POOL_IPS")
+    if pool is not None:
+        out["env"]["PALLAS_AXON_POOL_IPS"] = (
+            f"<set: {len([p for p in pool.split(',') if p.strip()])} addrs>")
     if args.native:
         from srsem import native
 
@@ -805,7 +811,9 @@ def cmd_saliency(args) -> int:
 
     apply_fn = jax.jit(lambda v, x: model.apply(v, x, train=False))
     n = generate_saliency_maps(apply_fn, variables, args.images, args.out,
-                               image_size=(args.height, args.width))
+                               image_size=(args.height, args.width),
+                               geometry=args.geometry,
+                               channel_order=args.channel_order)
     print(json.dumps({"images_dir": args.images, "out": args.out,
                       "written": n}))
     return 0
@@ -1247,6 +1255,14 @@ def main(argv=None) -> int:
                    help="allow random-init weights (smoke/shape runs only)")
     p.add_argument("--height", type=int, default=288)
     p.add_argument("--width", type=int, default=384)
+    p.add_argument("--geometry", choices=("pad", "resize"), default="pad",
+                   help="'pad' (default) = reference data_process.py "
+                        "aspect-preserving pad + crop-back to source "
+                        "resolution; 'resize' = distorting bicubic, maps "
+                        "saved at height×width")
+    p.add_argument("--channel-order", choices=("bgr", "rgb"), default="bgr",
+                   help="'bgr' matches the reference's cv2.imread input "
+                        "(upstream TranSalNet checkpoints)")
     p.set_defaults(fn=cmd_saliency)
 
     p = sub.add_parser("sweep-dataset")

@@ -88,6 +88,18 @@ class GlobalModelConfig:
     # Fine-tune the encoder too (reference ``enc_ft`` flag,
     # models/global_eval_models.py:316-321).
     enc_ft: bool = False
+    # Fresh-init distribution of the scoring-head BIAS:
+    # * "live"  — constant +0.01 (default): squared-diff head inputs are
+    #   nonnegative, so under torch's symmetric default a fresh head has a
+    #   ~50% chance of a dead final ReLU; +0.01 sits inside torch's own
+    #   U(±1/√fan_in) range but on the live side.
+    # * "torch" — torch's Conv2d/Linear default U(±1/√fan_in) verbatim
+    #   (the reference heads never call init_weights →
+    #   reference: models/global_eval_models.py:361-369 get torch defaults),
+    #   so a from-scratch srsem sweep samples the reference's init
+    #   distribution exactly.
+    # Converter-initialized models never consult this.
+    head_bias_init: str = "live"
 
 
 @dataclass(frozen=True)

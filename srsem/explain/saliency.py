@@ -17,10 +17,14 @@ utils/densenet.py, utils/TransformerEncoder.py, utils/loss_function.py):
   35-69), vectorized over the batch instead of the reference's per-sample
   Python loop.
 
-Weights convert from the torch checkpoint with
-``convert_transalnet``-style mapping (not yet needed offline); random-init
-forward is used by tests to pin shapes.  The reference's default input is
-288×384 (spatial token counts 9·12 / 18·24 / 36·48).
+Weights convert from the torch checkpoint via ``convert_transalnet``
+(srsem/utils/convert.py; CLI ``srsem convert --kind transalnet``),
+parity-tested against a torch mirror in tests/test_saliency.py.  The
+reference's default input is 288×384 (spatial token counts 9·12 / 18·24 /
+36·48); images enter through the reference's aspect-preserving pad and
+predictions leave through its center crop-back
+(:func:`preprocess_pad` / :func:`postprocess_crop`, mirroring
+reference: additional_approaches/src/transalnet/utils/data_process.py:9-80).
 """
 
 from __future__ import annotations
@@ -246,16 +250,109 @@ def saliency_loss(pred: Array, target: Array, loss_type: str = "cc") -> Array:
     return jnp.mean(fn(pred, target))
 
 
+def preprocess_pad(img: np.ndarray, target_hw: Tuple[int, int] = (288, 384),
+                   pad_value: int = 1) -> np.ndarray:
+    """Aspect-preserving resize + center pad into ``target_hw``, uint8.
+
+    Mirrors the reference's ``preprocess_img``
+    (reference: additional_approaches/src/transalnet/utils/
+    data_process.py:9-41) exactly, including its quirks: 3-channel pads
+    fill with value **1** (``np.ones``), 1-channel with 0; the resized
+    extent uses integer floor division.  The resize itself is the repo's
+    half-pixel-center bilinear (srsem/ops/npimage.py), the same sampling
+    convention as the reference's ``cv2.resize`` INTER_LINEAR (cv2's
+    fixed-point coefficients may differ by ±1 LSB).
+
+    ``img`` is (H, W, C) or (H, W) uint8; channel ORDER is the caller's —
+    the reference pipeline feeds cv2 BGR (see
+    :func:`generate_saliency_maps`).
+    """
+    img = np.asarray(img)
+    th, tw = target_hw
+    h, w = img.shape[:2]
+    if img.ndim == 2:
+        padded = np.zeros((th, tw), np.uint8)
+    else:
+        padded = np.full((th, tw, img.shape[2]), pad_value, np.uint8)
+
+    def _resize_u8(x, out_hw):
+        from srsem.ops.npimage import resize_bilinear_np
+
+        r = resize_bilinear_np(x.astype(np.float32), out_hw)
+        return np.clip(np.rint(r), 0, 255).astype(np.uint8)
+
+    # rows_rate > cols_rate ⟺ height is the binding dimension; the
+    # post-resize min() clamps are vestigial (floor division guarantees
+    # the free dimension fits) but kept for literal reference parity.
+    if h / th > w / tw:
+        new_cols = min((w * th) // h, tw)
+        left = (tw - new_cols) // 2
+        padded[:, left:left + new_cols] = _resize_u8(img, (th, new_cols))
+    else:
+        new_rows = min((h * tw) // w, th)
+        top = (th - new_rows) // 2
+        padded[top:top + new_rows] = _resize_u8(img, (new_rows, tw))
+    return padded
+
+
+def postprocess_crop(pred: np.ndarray,
+                     source_hw: Tuple[int, int]) -> np.ndarray:
+    """Map a model-resolution prediction back onto the source geometry.
+
+    Mirrors the reference's ``postprocess_img``
+    (reference: additional_approaches/src/transalnet/utils/
+    data_process.py:43-80): upscale the padded-frame prediction until the
+    source rectangle is covered, then center-crop the pad bands away.
+    Exact inverse of :func:`preprocess_pad`'s placement (same floor/center
+    arithmetic).  Keeps float32 (the reference round-trips through a PIL
+    image; quantization there is incidental, not geometric).
+    """
+    pred = np.asarray(pred, np.float32)
+    if pred.ndim != 2:
+        raise ValueError(f"expected a (H, W) map, got shape {pred.shape}")
+    from srsem.ops.npimage import resize_bilinear_np
+
+    sh, sw = source_hw
+    ph, pw = pred.shape
+    if sh / ph > sw / pw:
+        new_cols = (pw * sh) // ph
+        r = resize_bilinear_np(pred, (sh, new_cols))
+        left = (new_cols - sw) // 2
+        return r[:, left:left + sw]
+    new_rows = (ph * sw) // pw
+    r = resize_bilinear_np(pred, (new_rows, sw))
+    top = (new_rows - sh) // 2
+    return r[top:top + sh, :]
+
+
 def generate_saliency_maps(model_apply, variables, image_dir: str,
                            out_dir: str, image_size=(288, 384),
-                           exts=(".jpg", ".png")) -> int:
+                           exts=(".jpg", ".png"), geometry: str = "pad",
+                           channel_order: str = "bgr") -> int:
     """Folder job writing ``SaliencyMaps`` .npy files consumed by
     srsem.eval.approaches (reference usage: compute_metrics.py:130-134).
-    Skip-existing resumable."""
+    Skip-existing resumable.
+
+    ``geometry="pad"`` (default) is the reference pipeline: images enter
+    through :func:`preprocess_pad` (aspect-preserving, 288×384) and the
+    prediction is cropped back to the SOURCE resolution with
+    :func:`postprocess_crop`, so the saved maps are interchangeable with
+    reference-produced SaliencyMaps trees on any aspect ratio.
+    ``geometry="resize"`` keeps the pre-round-5 distorting bicubic resize
+    (maps saved at ``image_size``).
+
+    ``channel_order="bgr"`` matches the reference's cv2.imread input
+    convention (upstream TranSalNet checkpoints were trained on BGR);
+    pass "rgb" for models trained in this repo's convention.
+    """
     import os
 
     from PIL import Image
 
+    if geometry not in ("pad", "resize"):
+        raise ValueError(f"unknown geometry {geometry!r}")
+    if channel_order not in ("bgr", "rgb"):
+        raise ValueError(f"unknown channel_order {channel_order!r}")
     os.makedirs(out_dir, exist_ok=True)
     n = 0
     for name in sorted(os.listdir(image_dir)):
@@ -268,9 +365,21 @@ def generate_saliency_maps(model_apply, variables, image_dir: str,
         if os.path.exists(out_path):
             continue
         img = Image.open(os.path.join(image_dir, name)).convert("RGB")
-        img = img.resize((image_size[1], image_size[0]), Image.BICUBIC)
-        arr = np.asarray(img, np.float32)[None] / 255.0
-        sal = np.asarray(model_apply(variables, jnp.asarray(arr)))[0]
-        np.save(out_path, sal)
+        if geometry == "pad":
+            src = np.asarray(img, np.uint8)
+            if channel_order == "bgr":
+                src = src[..., ::-1]
+            arr = preprocess_pad(src, image_size).astype(np.float32)[None]
+            arr /= 255.0
+            sal = np.asarray(model_apply(variables, jnp.asarray(arr)))[0]
+            sal = postprocess_crop(sal, src.shape[:2])
+        else:
+            img = img.resize((image_size[1], image_size[0]), Image.BICUBIC)
+            arr = np.asarray(img, np.float32)[None]
+            if channel_order == "bgr":
+                arr = arr[..., ::-1]
+            arr = arr / 255.0
+            sal = np.asarray(model_apply(variables, jnp.asarray(arr)))[0]
+        np.save(out_path, np.ascontiguousarray(sal))
         n += 1
     return n

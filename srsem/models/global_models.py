@@ -74,6 +74,30 @@ _head_bias_init = nn.initializers.constant(0.01)
 _mlp_init = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
 
 
+def head_bias_initializer(mode: str, fan_in: int):
+    """Scoring-head bias initializer for ``cfg.head_bias_init``.
+
+    ``"live"`` — constant +0.01 (the dead-ReLU-safe default, see above).
+    ``"torch"`` — torch's Conv2d/Linear default ``U(±1/√fan_in)``: the
+    reference heads never call init_weights, so their biases sample
+    ``kaiming_uniform``'s companion bias distribution
+    (reference: models/global_eval_models.py:361-369 → torch
+    ``nn.Conv2d`` ``reset_parameters``).  ``fan_in`` is the head's input
+    channel/width count — it cannot be derived from the bias shape
+    ``(1,)``, hence the factory.
+    """
+    if mode == "live":
+        return _head_bias_init
+    if mode == "torch":
+        bound = float(fan_in) ** -0.5
+
+        def init(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        return init
+    raise ValueError(f"unknown head_bias_init {mode!r}")
+
+
 def stage_taps_for(kind: str, depth: int) -> Tuple[str, ...]:
     """The ``depth + 1`` deepest per-stage taps — the reference's
     ``range(3-depth, 4)`` / ``range(4-depth, 5)`` includes the last stage
@@ -105,6 +129,7 @@ class ConvHeadAggregator(nn.Module):
     (reference: models/global_eval_models.py:379-395)."""
 
     n_layers: int
+    bias_init: str = "live"
 
     @nn.compact
     def __call__(self, diffs: List[Array]) -> Array:
@@ -112,7 +137,9 @@ class ConvHeadAggregator(nn.Module):
         for j, d in enumerate(diffs):
             # 1x1 conv C→1 == Dense over the channel axis.
             w = nn.Dense(1, kernel_init=_head_init,
-                         bias_init=_head_bias_init, param_dtype=jnp.float32,
+                         bias_init=head_bias_initializer(
+                             self.bias_init, d.shape[-1]),
+                         param_dtype=jnp.float32,
                          name=f"w_layers.{j}")(d)[..., 0]
             scores.append(jnp.mean(w, axis=(1, 2)))
         return nn.relu(jnp.mean(jnp.stack(scores, axis=0), axis=0))
@@ -297,17 +324,19 @@ class TokenHeadAggregator(nn.Module):
 
     n_layers: int
     shared: bool = False
+    bias_init: str = "live"
 
     @nn.compact
     def __call__(self, diffs: List[Array]) -> Array:
+        bias_init = head_bias_initializer(self.bias_init, diffs[0].shape[-1])
         shared_head = (nn.Dense(1, kernel_init=_head_init,
-                                bias_init=_head_bias_init,
+                                bias_init=bias_init,
                                 param_dtype=jnp.float32, name="w_layer")
                        if self.shared else None)
         scores = []
         for j, d in enumerate(diffs):  # d: (N, tokens, width)
             head = shared_head or nn.Dense(
-                1, kernel_init=_head_init, bias_init=_head_bias_init,
+                1, kernel_init=_head_init, bias_init=bias_init,
                 param_dtype=jnp.float32, name=f"w_layers.{j}")
             w = head(d)[..., 0]
             scores.append(jnp.mean(w, axis=-1))
@@ -341,12 +370,15 @@ class GlobalPairScorer(nn.Module):
         self.backbone = make_backbone(self.cfg.backbone)
         head, depth = self.cfg.head, self.cfg.depth
         kind = self.cfg.backbone.kind
+        bias_mode = self.cfg.head_bias_init
         if head == "stages_cnn":
             self.tap_names = stage_taps_for(kind, depth)
-            self.aggregator = ConvHeadAggregator(len(self.tap_names))
+            self.aggregator = ConvHeadAggregator(
+                len(self.tap_names), bias_init=bias_mode)
         elif head == "wperlay_cnn":
             self.tap_names = wperlay_taps(depth)
-            self.aggregator = ConvHeadAggregator(len(self.tap_names))
+            self.aggregator = ConvHeadAggregator(
+                len(self.tap_names), bias_init=bias_mode)
         elif head == "stages_cnn_pooling":
             self.tap_names = stage_taps_for(kind, depth)
             # Widths mirror the reference's (sic) 2056/1028 sizes (:460-469).
@@ -356,16 +388,19 @@ class GlobalPairScorer(nn.Module):
             self.aggregator = MlpHead((1028, 512, 1))
         elif head == "single_lin_vit":
             self.tap_names = vit_block_taps(depth, total=self.cfg.backbone.vit_depth)
-            self.aggregator = TokenHeadAggregator(len(self.tap_names), shared=True)
+            self.aggregator = TokenHeadAggregator(
+                len(self.tap_names), shared=True, bias_init=bias_mode)
         elif head == "stages_vit":
             # Every 3rd block to mirror ResNet's four stages
             # (reference: models/global_eval_models.py:116).
             self.tap_names = vit_block_taps(
                 depth, total=self.cfg.backbone.vit_depth, step=3)
-            self.aggregator = TokenHeadAggregator(len(self.tap_names))
+            self.aggregator = TokenHeadAggregator(
+                len(self.tap_names), bias_init=bias_mode)
         elif head == "wperlay_vit":
             self.tap_names = vit_block_taps(depth, total=self.cfg.backbone.vit_depth)
-            self.aggregator = TokenHeadAggregator(len(self.tap_names))
+            self.aggregator = TokenHeadAggregator(
+                len(self.tap_names), bias_init=bias_mode)
         else:
             raise ValueError(f"unknown global head {self.cfg.head!r}")
 

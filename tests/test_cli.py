@@ -448,7 +448,9 @@ def test_saliency_cli(tmp_path):
                "--random-init", "--height", "64", "--width", "64"])
     assert rc == 0
     m = np.load(out / "a.npy")
-    assert m.shape == (64, 64)
+    # default geometry="pad": the map is cropped back to SOURCE resolution
+    # (reference data_process.py:43-80), not saved at height×width
+    assert m.shape == (40, 52)
     assert 0.0 <= float(m.min()) and float(m.max()) <= 1.0
     assert (out / "b.npy").exists()
 

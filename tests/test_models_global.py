@@ -138,3 +138,69 @@ def test_unet_global_head_returns_unbounded_map(rng):
     assert out.shape == (1, 64, 64)
     # ReLU output without sigmoid → values can exceed 1
     assert float(out.min()) >= 0.0
+
+
+def test_head_bias_init_torch_mode_moments(rng):
+    """``head_bias_init="torch"`` samples torch's Conv2d/Linear default
+    bias distribution U(±1/√fan_in) — the reference scoring heads never
+    call init_weights, so their biases come from torch's
+    ``reset_parameters`` (reference: models/global_eval_models.py:361-369).
+    Moments of the initializer match torch's over a large sample."""
+    import torch
+
+    from srsem.models.global_models import head_bias_initializer
+
+    fan_in = 256
+    bound = fan_in ** -0.5
+    init = head_bias_initializer("torch", fan_in)
+    vals = np.asarray(init(rng, (20000,), jnp.float32))
+    assert float(np.abs(vals).max()) <= bound
+    assert abs(float(vals.mean())) < 0.003
+    # U(±bound) has std bound/√3.
+    np.testing.assert_allclose(float(vals.std()), bound / np.sqrt(3.0),
+                               rtol=0.05)
+
+    # torch's own default: every Conv2d(C→1, 1x1) bias lies in the bound,
+    # and the pooled sample std agrees with U(±bound).
+    torch.manual_seed(0)
+    tb = np.asarray([
+        float(torch.nn.Conv2d(fan_in, 1, 1).bias.detach())
+        for _ in range(600)])
+    assert float(np.abs(tb).max()) <= bound
+    np.testing.assert_allclose(float(tb.std()), bound / np.sqrt(3.0),
+                               rtol=0.15)
+
+
+def test_head_bias_init_config_modes(rng):
+    """Model-level wiring: the default ("live") initializes every scoring
+    head bias to exactly +0.01; "torch" draws each within its OWN
+    fan_in bound (per-stage channel counts differ) and non-constant."""
+    from flax import traverse_util
+
+    def init_biases(mode):
+        cfg = GlobalModelConfig(
+            backbone=BackboneConfig(kind="resnet50_clip", image_size=64,
+                                    compute_dtype="float32"),
+            head="stages_cnn", depth=2, head_bias_init=mode)
+        model = make_global_model(cfg)
+        x = jax.random.uniform(rng, (1, 64, 64, 3))
+        vs = model.init(jax.random.PRNGKey(11), x, x)
+        flat = traverse_util.flatten_dict(vs["params"]["aggregator"])
+        out = {}
+        for path, v in flat.items():
+            if path[-1] == "bias":
+                kernel = flat[path[:-1] + ("kernel",)]
+                out[path[0]] = (float(v[0]), kernel.shape[0])
+        return out
+
+    live = init_biases("live")
+    assert len(live) == 3  # depth=2 → 3 tapped stages
+    assert all(b == pytest.approx(0.01) for b, _ in live.values())
+
+    torch_mode = init_biases("torch")
+    for name, (b, fan_in) in torch_mode.items():
+        assert abs(b) <= fan_in ** -0.5, (name, b, fan_in)
+    assert len({b for b, _ in torch_mode.values()}) == 3  # non-constant
+
+    with pytest.raises(ValueError, match="head_bias_init"):
+        init_biases("bogus")
