@@ -274,6 +274,23 @@ def main() -> None:
                 0, 256, (hb5, 512, 512, 3), dtype=np.uint8), data)
             note("clu_maps_512px",
                  _throughput(score_maps16, (lvars, la5, lb5), hb5, 15))
+
+            # bf16 OUTPUT buffer (LocalModelConfig.output_dtype): sigmoid
+            # still in f32, only the returned map narrows.  At 512px the
+            # f32 map is 1 MiB/image and its HBM write + host delivery is
+            # the gap between compute (~250 maps/s, the roofline probe's
+            # reduced-output form) and the delivered-f32 number above
+            # (scripts/ab_clu512_output.py, BENCH_NOTES r5).
+            lcfg16o = dataclasses.replace(lcfg16, output_dtype="bfloat16")
+            lmodel16o = make_local_model(lcfg16o)
+
+            @jax.jit
+            def score_maps16o(v, a, b):
+                return lmodel16o.apply(v, lpre.device_normalize(a),
+                                       lpre.device_normalize(b), train=False)
+
+            note("clu_maps_512px_bf16_out",
+                 _throughput(score_maps16o, (lvars, la5, lb5), hb5, 15))
         except Exception as e:
             print(json.dumps({"bench": "clu_maps_512px",
                               "error": str(e)[:200]}),

@@ -119,6 +119,11 @@ class LocalModelConfig:
     # default; "bfloat16" is the serving mode (measured faster on v5e,
     # BENCH_NOTES.md round 2; maps agree to ~1e-2).
     decoder_dtype: str = "float32"
+    # Dtype of the returned map (sigmoid always computed in f32).
+    # "bfloat16" halves the output buffer and its host delivery — the
+    # dominant cost of full-map serving at 512px (BENCH_NOTES r5); map
+    # values round to bf16's ~3 significant digits.
+    output_dtype: str = "float32"
 
     @property
     def full_finetune(self) -> bool:

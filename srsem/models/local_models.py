@@ -145,6 +145,11 @@ class CluUnet(nn.Module):
     # trades ~3 decimal digits of map precision for decoder throughput on
     # the MXU (the CLU serving path is decoder-bound, BENCH_NOTES.md).
     decoder_dtype: Any = jnp.float32
+    # Dtype of the RETURNED map (sigmoid itself always runs in f32).
+    # float32 is the parity default; bfloat16 halves the output buffer's
+    # HBM write and host-delivery bytes — the dominant cost of full-map
+    # serving at 512px (scripts/ab_clu512_output.py, BENCH_NOTES r5).
+    output_dtype: Any = jnp.float32
     # Decoder width multiplier.  1.0 (default) is the reference channel
     # plan (_LEVEL_CHANNELS) — required for parity and checkpoint
     # compatibility.  Fractions scale every decoder block's channels
@@ -281,7 +286,13 @@ class CluUnet(nn.Module):
             h = upsample_x2_align_corners(h, compute_dtype=dd)
 
         h = h[..., 0].astype(jnp.float32)  # (N, H, W)
-        return jax.nn.sigmoid(h) if self.sigmoid else h
+        out = jax.nn.sigmoid(h) if self.sigmoid else h
+        # Sigmoid in f32 always; the cast only narrows the OUTPUT buffer.
+        # bf16 halves the final HBM write and the host-delivery bytes — at
+        # 512px the (N, H, W) f32 map is 1 MiB/image, and its delivery
+        # dominates the serving gap (scripts/ab_clu512_output.py: 250
+        # maps/s reduced vs ~165 full-map f32 on the relay link).
+        return out.astype(self.output_dtype)
 
 
 #: Decoder levels routed through the fused Pallas kernel by default.
@@ -418,7 +429,8 @@ def fused_serving_decode(model: "CluUnet", variables: Dict,
         h = upsample_x2_align_corners(h, compute_dtype=dd)
 
     h = h[..., 0].astype(jnp.float32)
-    return jax.nn.sigmoid(h) if model.sigmoid else h
+    out = jax.nn.sigmoid(h) if model.sigmoid else h
+    return out.astype(model.output_dtype)  # see CluUnet.decode_from_diffs
 
 
 def make_local_model(cfg: LocalModelConfig,
@@ -431,6 +443,7 @@ def make_local_model(cfg: LocalModelConfig,
         compute_dtype=jnp.dtype(cfg.backbone.compute_dtype),
         image_size=cfg.backbone.image_size,
         decoder_dtype=jnp.dtype(getattr(cfg, "decoder_dtype", "float32")),
+        output_dtype=jnp.dtype(getattr(cfg, "output_dtype", "float32")),
         width_mult=width_mult,
         split_tower=split_tower,
     )

@@ -122,3 +122,25 @@ def test_bf16_decoder_matches_f32_maps(rng):
     # and the parity default is bit-stable against itself
     np.testing.assert_array_equal(
         out32, np.asarray(m32.apply(vs, a, b, train=False)))
+
+
+def test_bf16_output_dtype_narrows_map_only(rng):
+    """output_dtype="bfloat16" narrows only the RETURNED buffer: sigmoid
+    still runs in f32, so values equal the f32-output model rounded to
+    bf16 (one rounding step, not a bf16 compute chain)."""
+    import dataclasses
+
+    cfg32 = LocalModelConfig(
+        backbone=BackboneConfig(kind="resnet50_clip", image_size=64,
+                                compute_dtype="float32"))
+    cfgo = dataclasses.replace(cfg32, output_dtype="bfloat16")
+    m32 = make_local_model(cfg32)
+    mo = make_local_model(cfgo)
+    a = jax.random.uniform(rng, (2, 64, 64, 3))
+    b = jax.random.uniform(jax.random.PRNGKey(5), (2, 64, 64, 3))
+    vs = m32.init(rng, a, b, train=False)
+    out32 = m32.apply(vs, a, b, train=False)
+    outo = mo.apply(vs, a, b, train=False)
+    assert outo.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(outo), np.asarray(out32.astype(jnp.bfloat16)))
