@@ -281,16 +281,23 @@ def main() -> None:
             # the gap between compute (~250 maps/s, the roofline probe's
             # reduced-output form) and the delivered-f32 number above
             # (scripts/ab_clu512_output.py, BENCH_NOTES r5).
-            lcfg16o = dataclasses.replace(lcfg16, output_dtype="bfloat16")
-            lmodel16o = make_local_model(lcfg16o)
+            try:
+                lcfg16o = dataclasses.replace(lcfg16,
+                                              output_dtype="bfloat16")
+                lmodel16o = make_local_model(lcfg16o)
 
-            @jax.jit
-            def score_maps16o(v, a, b):
-                return lmodel16o.apply(v, lpre.device_normalize(a),
-                                       lpre.device_normalize(b), train=False)
+                @jax.jit
+                def score_maps16o(v, a, b):
+                    return lmodel16o.apply(v, lpre.device_normalize(a),
+                                           lpre.device_normalize(b),
+                                           train=False)
 
-            note("clu_maps_512px_bf16_out",
-                 _throughput(score_maps16o, (lvars, la5, lb5), hb5, 15))
+                note("clu_maps_512px_bf16_out",
+                     _throughput(score_maps16o, (lvars, la5, lb5), hb5, 15))
+            except Exception as e:  # own label: the f32 line above already
+                print(json.dumps({"bench": "clu_maps_512px_bf16_out",
+                                  "error": str(e)[:200]}),
+                      file=sys.stderr, flush=True)
         except Exception as e:
             print(json.dumps({"bench": "clu_maps_512px",
                               "error": str(e)[:200]}),

@@ -175,6 +175,13 @@ class ScoreService:
                 return g
         return self.group_batch
 
+    def _chunk_g(self, n: int) -> int:
+        """Bucket for the NEXT chunk of an ``n``-request stream: ``n``
+        beyond ``group_batch`` clamps to the top bucket (the remainder is
+        scored by the stream's successive chunks).  The one sanctioned way
+        to call :meth:`_pick_g` with an unbounded ``n``."""
+        return self._pick_g(min(n, self.group_batch))
+
     def _shared_variables(self, for_maps: bool):
         """Variables device-placed ONCE (replicated over the mesh resolved
         at construction) and shared by every (K, G) bucket — each bucket's
@@ -392,8 +399,7 @@ class ScoreService:
         bucket ladder (:meth:`_ladder`).  Yields ``(chunk_requests, ok,
         device_result)`` per chunk; ``ok[i, m]`` is False where the GT or
         that SR failed to decode (→ the NaN failure contract)."""
-        sc0 = get_scorer(
-            self._pick_g(min(len(requests), self.group_batch)))
+        sc0 = get_scorer(self._chunk_g(len(requests)))
         size = sc0.preprocess.size
 
         flat: List[str] = []
@@ -407,7 +413,7 @@ class ScoreService:
 
         start = 0
         while start < len(requests):
-            g = self._pick_g(min(len(requests) - start, self.group_batch))
+            g = self._chunk_g(len(requests) - start)
             sc = get_scorer(g)
             chunk = requests[start: start + g]
             gt = np.zeros((g, size, size, 3), np.uint8)
@@ -459,7 +465,7 @@ class ScoreService:
         self._count("requests", len(requests))
         k = len(requests[0]["sr"])
         self.map_scorer(  # CLU model check before any decode work
-            k, self._pick_g(min(len(requests), self.group_batch)))
+            k, self._chunk_g(len(requests)))
         out: List[dict] = []
         for chunk, ok, maps in self._decoded_chunks(
                 lambda g: self.map_scorer(k, g), requests, k):

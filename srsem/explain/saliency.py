@@ -265,9 +265,14 @@ def preprocess_pad(img: np.ndarray, target_hw: Tuple[int, int] = (288, 384),
 
     ``img`` is (H, W, C) or (H, W) uint8; channel ORDER is the caller's —
     the reference pipeline feeds cv2 BGR (see
-    :func:`generate_saliency_maps`).
+    :func:`generate_saliency_maps`).  A trailing singleton channel
+    ``(H, W, 1)`` is treated as grayscale: the reference's ``channels=1``
+    arrays are 2-D (``cv2.imread(path, 0)``), so it is squeezed to match
+    that contract — zero pad bands, 2-D result.
     """
     img = np.asarray(img)
+    if img.ndim == 3 and img.shape[2] == 1:
+        img = img[..., 0]
     th, tw = target_hw
     h, w = img.shape[:2]
     if img.ndim == 2:
@@ -339,13 +344,21 @@ def generate_saliency_maps(model_apply, variables, image_dir: str,
     :func:`postprocess_crop`, so the saved maps are interchangeable with
     reference-produced SaliencyMaps trees on any aspect ratio.
     ``geometry="resize"`` keeps the pre-round-5 distorting bicubic resize
-    (maps saved at ``image_size``).
+    (maps saved at ``image_size``; the FULL pre-round-5 behavior also
+    needs ``channel_order="rgb"``).
 
     ``channel_order="bgr"`` matches the reference's cv2.imread input
     convention (upstream TranSalNet checkpoints were trained on BGR);
     pass "rgb" for models trained in this repo's convention.
+
+    Skip-existing resume is guarded against geometry mixing: the tree
+    carries a ``.srsem_saliency_meta.json`` marker and resuming with
+    different flags fails fast — a half-RGB/resize, half-BGR/pad tree
+    would silently skew every downstream overlap metric.
     """
+    import json as _json
     import os
+    import sys as _sys
 
     from PIL import Image
 
@@ -354,6 +367,28 @@ def generate_saliency_maps(model_apply, variables, image_dir: str,
     if channel_order not in ("bgr", "rgb"):
         raise ValueError(f"unknown channel_order {channel_order!r}")
     os.makedirs(out_dir, exist_ok=True)
+    meta = {"geometry": geometry, "channel_order": channel_order,
+            "image_size": list(image_size)}
+    meta_path = os.path.join(out_dir, ".srsem_saliency_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            prev = _json.load(f)
+        if prev != meta:
+            raise ValueError(
+                f"SaliencyMaps tree {out_dir!r} was generated with {prev}, "
+                f"resuming with {meta} would mix map geometries in one "
+                "tree — use a fresh out_dir or pass matching flags")
+    else:
+        existing = sum(f.endswith(".npy") for f in os.listdir(out_dir))
+        if existing:
+            # Unmarked non-empty tree: provenance unknown (pre-round-5
+            # srsem trees were rgb/resize; reference trees are bgr/pad).
+            print(f"saliency: warning: resuming an unmarked tree with "
+                  f"{existing} existing maps; cannot verify they used "
+                  f"geometry={geometry!r} channel_order={channel_order!r}",
+                  file=_sys.stderr, flush=True)
+        with open(meta_path, "w") as f:
+            _json.dump(meta, f)
     n = 0
     for name in sorted(os.listdir(image_dir)):
         if not name.endswith(exts):

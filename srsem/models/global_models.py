@@ -371,6 +371,14 @@ class GlobalPairScorer(nn.Module):
         head, depth = self.cfg.head, self.cfg.depth
         kind = self.cfg.backbone.kind
         bias_mode = self.cfg.head_bias_init
+        # Validate for EVERY head so a typo fails at build time, not only
+        # on the conv/vit heads that consult it.  The MLP heads
+        # (stages_cnn_pooling / emb_lin) legitimately ignore the mode:
+        # their reference classes call init_weights explicitly (Kaiming,
+        # reference: models/global_eval_models.py:474,527-531), so there is no
+        # torch-default-vs-live choice to make for them.
+        if bias_mode not in ("live", "torch"):
+            raise ValueError(f"unknown head_bias_init {bias_mode!r}")
         if head == "stages_cnn":
             self.tap_names = stage_taps_for(kind, depth)
             self.aggregator = ConvHeadAggregator(

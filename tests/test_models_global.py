@@ -204,3 +204,15 @@ def test_head_bias_init_config_modes(rng):
 
     with pytest.raises(ValueError, match="head_bias_init"):
         init_biases("bogus")
+
+    # The MLP heads legitimately ignore the mode (their reference classes
+    # call init_weights explicitly), but a typo must still fail at build
+    # time there too — not only on the heads that consult it.
+    cfg = GlobalModelConfig(
+        backbone=BackboneConfig(kind="resnet50_clip", image_size=64,
+                                compute_dtype="float32"),
+        head="stages_cnn_pooling", depth=2, head_bias_init="bogus")
+    model = make_global_model(cfg)
+    x = jax.random.uniform(rng, (1, 64, 64, 3))
+    with pytest.raises(ValueError, match="head_bias_init"):
+        model.init(jax.random.PRNGKey(11), x, x)

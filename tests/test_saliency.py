@@ -311,7 +311,8 @@ def test_generate_saliency_maps_keeps_dotted_stems(tmp_path):
     n = generate_saliency_maps(fake_apply, {}, str(imgs), str(out),
                                image_size=(8, 8))
     assert n == 2
-    assert sorted(p.name for p in out.iterdir()) == ["a.v1.npy", "a.v2.npy"]
+    assert sorted(p.name for p in out.iterdir()
+                  if p.suffix == ".npy") == ["a.v1.npy", "a.v2.npy"]
 
     from srsem.eval.approaches import saliency_path_for
 
@@ -405,6 +406,20 @@ def test_preprocess_pad_single_channel(np_rng):
     assert got.shape == want.shape == (288, 384)
     np.testing.assert_array_equal(got == 0, want == 0)
     assert np.abs(got.astype(np.int16) - want.astype(np.int16)).max() <= 2
+
+
+def test_preprocess_pad_trailing_singleton_channel(np_rng):
+    """(H, W, 1) is grayscale: the reference's channels=1 arrays are 2-D
+    (cv2.imread(path, 0) → zero pad bands), so a trailing singleton
+    channel must NOT ride the 3-channel value-1 pad path."""
+    from srsem.explain.saliency import preprocess_pad
+
+    img2d = np_rng.integers(8, 256, (120, 500), dtype=np.uint8)
+    got = preprocess_pad(img2d[..., None])
+    want = preprocess_pad(img2d)
+    assert got.shape == (288, 384)  # squeezed to the reference's 2-D form
+    np.testing.assert_array_equal(got, want)
+    assert got[0, 0] == 0  # zero pad bands, not value-1
 
 
 @pytest.mark.parametrize("hw", [(500, 200), (200, 500), (768, 1024)])
@@ -539,3 +554,36 @@ def test_generate_saliency_maps_channel_order(tmp_path, np_rng):
     bgr = mean_first_channel("bgr", "out_bgr")
     rgb = mean_first_channel("rgb", "out_rgb")
     assert rgb > 0.5 > bgr  # red channel leads in rgb, trails in bgr
+
+
+def test_generate_saliency_maps_resume_guard(tmp_path, np_rng):
+    """Skip-existing resume must not mix geometries in one tree: the
+    .srsem_saliency_meta.json marker pins the flags a tree was built
+    with, same-flag resume skips existing maps, different flags fail."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from srsem.explain.saliency import generate_saliency_maps
+
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    Image.fromarray(np_rng.integers(
+        0, 256, (60, 90, 3), dtype=np.uint8)).save(imgs / "a.png")
+    out = tmp_path / "SaliencyMaps"
+
+    def fake_apply(variables, x):
+        return jnp.zeros(x.shape[:3]) + 0.5
+
+    assert generate_saliency_maps(fake_apply, {}, str(imgs), str(out)) == 1
+    assert (out / ".srsem_saliency_meta.json").exists()
+    # same flags: clean resume, existing map skipped
+    Image.fromarray(np_rng.integers(
+        0, 256, (60, 90, 3), dtype=np.uint8)).save(imgs / "b.png")
+    assert generate_saliency_maps(fake_apply, {}, str(imgs), str(out)) == 1
+    # different flags: fail fast instead of writing a mixed tree
+    with pytest.raises(ValueError, match="mix"):
+        generate_saliency_maps(fake_apply, {}, str(imgs), str(out),
+                               geometry="resize")
+    with pytest.raises(ValueError, match="mix"):
+        generate_saliency_maps(fake_apply, {}, str(imgs), str(out),
+                               channel_order="rgb")
