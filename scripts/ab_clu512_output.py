@@ -11,10 +11,8 @@
 Usage: python scripts/ab_clu512_output.py   (claims the TPU; run alone).
 """
 
-import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -23,19 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def sync_time(fn, args, iters, warmup=2):
-    for _ in range(warmup):
-        jax.device_get(fn(*args))
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = fn(*args)
-    jax.device_get(out)
-    return (time.perf_counter() - t0) / iters
-
-
-def note(**kw):
-    print(json.dumps(kw), flush=True)
+from benchlib import note, sync_time  # noqa: E402
 
 
 def main():
