@@ -60,6 +60,12 @@ def _with_backbone(variables: Dict[str, Any], path: str) -> Dict[str, Any]:
             "params": {**variables["params"], "backbone": tree}}
 
 
+def _maybe_backbone_params(args):
+    """--backbone-checkpoint → converted tower param tree (or None)."""
+    path = getattr(args, "backbone_checkpoint", None)
+    return _load_param_tree(path) if path else None
+
+
 def cmd_convert(args) -> int:
     """Convert torch pretrained checkpoints to srsem param trees.
 
@@ -228,7 +234,8 @@ def cmd_train_global(args) -> int:
     train_loader = Loader(Subset(ds, train_idx), tcfg.batch_size, shuffle=True,
                           seed=tcfg.seed)
     val_loader = Loader(Subset(ds, val_idx), tcfg.batch_size)
-    result = train_global(cfg, tcfg, train_loader, val_loader)
+    result = train_global(cfg, tcfg, train_loader, val_loader,
+                          backbone_params=_maybe_backbone_params(args))
     print(json.dumps({"val_metrics": result.val_metrics, "steps": result.step}))
     return 0
 
@@ -321,7 +328,8 @@ def cmd_train_clu(args) -> int:
         from srsem.train.multisweep import train_local_sweep_shared_tower
 
         results = train_local_sweep_shared_tower(
-            thresholds, cfg, tcfg, train_loader, val_loader)
+            thresholds, cfg, tcfg, train_loader, val_loader,
+            backbone_params=_maybe_backbone_params(args))
         if tcfg.checkpoint_dir:
             for r in results:
                 save_checkpoint(
@@ -340,7 +348,9 @@ def cmd_train_clu(args) -> int:
         from srsem.train.checkpoint import save_checkpoint
         from srsem.train.diffcache import train_local_cached_diffs
 
-        result = train_local_cached_diffs(cfg, tcfg, train_loader, val_loader)
+        result = train_local_cached_diffs(
+            cfg, tcfg, train_loader, val_loader,
+            backbone_params=_maybe_backbone_params(args))
         if tcfg.checkpoint_dir:
             save_checkpoint(tcfg.checkpoint_dir, tcfg.epochs, {
                 "trainable": result["trainable"],
@@ -349,7 +359,8 @@ def cmd_train_clu(args) -> int:
         print(json.dumps({"val_metrics": {"mse": result["val_mse"]},
                           "train_loss": result["train_loss"]}))
         return 0
-    result = train_local(cfg, tcfg, train_loader, val_loader)
+    result = train_local(cfg, tcfg, train_loader, val_loader,
+                         backbone_params=_maybe_backbone_params(args))
     print(json.dumps({"val_metrics": result.val_metrics, "steps": result.step}))
     return 0
 
@@ -392,20 +403,24 @@ def cmd_sweep_global(args) -> int:
 
             results = solve_global_sweep_closed_form(
                 depth_grid(), cfg, tcfg, train_loader, val_loader,
-                l2=args.l2)
+                l2=args.l2,
+                backbone_params=_maybe_backbone_params(args))
         elif args.cached_stats:
             from srsem.train.statcache import train_global_sweep_cached_stats
 
             results = train_global_sweep_cached_stats(
-                depth_grid(), cfg, tcfg, train_loader, val_loader)
+                depth_grid(), cfg, tcfg, train_loader, val_loader,
+                backbone_params=_maybe_backbone_params(args))
         elif args.cached_diffs:
             from srsem.train.diffcache import train_global_sweep_cached_diffs
 
             results = train_global_sweep_cached_diffs(
-                depth_grid(), cfg, tcfg, train_loader, val_loader)
+                depth_grid(), cfg, tcfg, train_loader, val_loader,
+                backbone_params=_maybe_backbone_params(args))
         else:
             results = train_global_sweep_shared_tower(
-                depth_grid(), cfg, tcfg, train_loader, val_loader)
+                depth_grid(), cfg, tcfg, train_loader, val_loader,
+                backbone_params=_maybe_backbone_params(args))
         print(json.dumps([{"name": r["name"], "val_srcc": r["val_srcc"],
                            "val_mse": r["val_mse"]} for r in results]))
         return 0
@@ -413,7 +428,8 @@ def cmd_sweep_global(args) -> int:
     from srsem.train.sweep import GLOBAL_SWEEP, make_global_train_fn, run_sweep
 
     results = run_sweep(
-        make_global_train_fn(args.csv, args.root, backbone=args.backbone),
+        make_global_train_fn(args.csv, args.root, backbone=args.backbone,
+                             backbone_params=_maybe_backbone_params(args)),
         GLOBAL_SWEEP, summary_path=args.summary)
     print(json.dumps([{"name": r["name"],
                        "val_srcc": r.get("srcc"),
@@ -431,7 +447,8 @@ def cmd_sweep_clu(args) -> int:
             key, _, raw = spec.partition("=")
             axes[key] = [ast.literal_eval(raw) if raw != "None" else None]
     results = run_clu_sweep(args.csv, axes, summary_path=args.summary,
-                            shared_thresholds=args.shared_thresholds)
+                            shared_thresholds=args.shared_thresholds,
+                            backbone_params=_maybe_backbone_params(args))
     print(json.dumps({"points": len(results)}))
     return 0
 
@@ -965,6 +982,9 @@ def main(argv=None) -> int:
     p.add_argument("csv")
     p.add_argument("root")
     p.add_argument("--backbone", default="resnet50_clip")
+    p.add_argument("--backbone-checkpoint", default=None,
+                   help="converted pretrained tower (srsem convert) to "
+                        "train the heads on (params['backbone'])")
     p.add_argument("--checkpoint-dir")
     p.add_argument("--set", action="append", default=[])
     p.add_argument("--train-set", action="append", default=[])
@@ -988,6 +1008,9 @@ def main(argv=None) -> int:
     p = sub.add_parser("train-clu")
     p.add_argument("csv")
     p.add_argument("--backbone", default="resnet50_clip")
+    p.add_argument("--backbone-checkpoint", default=None,
+                   help="converted pretrained tower (srsem convert) to "
+                        "train the decoder on (params['backbone'])")
     p.add_argument("--only-hq", action="store_true")
     p.add_argument("--min-caps", type=int, default=2)
     p.add_argument("--checkpoint-dir")
@@ -1009,6 +1032,9 @@ def main(argv=None) -> int:
     p.add_argument("csv")
     p.add_argument("root")
     p.add_argument("--backbone", default="resnet50_clip")
+    p.add_argument("--backbone-checkpoint", default=None,
+                   help="converted pretrained tower (srsem convert) shared "
+                        "by every grid point")
     p.add_argument("--summary", default="sweep_global.jsonl")
     p.add_argument("--shared-tower", action="store_true",
                    help="train all depth points on one frozen-tower stream")
@@ -1031,6 +1057,9 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("sweep-clu")
     p.add_argument("csv")
+    p.add_argument("--backbone-checkpoint", default=None,
+                   help="converted pretrained tower (srsem convert) shared "
+                        "by every frozen-tower grid cell")
     p.add_argument("--summary", default="sweep_clu.jsonl")
     p.add_argument("--limit-axis", action="append", default=[])
     p.add_argument("--shared-thresholds", action="store_true",

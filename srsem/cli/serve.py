@@ -51,6 +51,7 @@ import math
 import queue
 import sys
 import threading
+import time
 from typing import Dict, List, Optional, Sequence, TextIO
 
 import numpy as np
@@ -265,7 +266,10 @@ class ScoreService:
                 except queue.Empty:
                     break
                 if item is not None:
-                    item[1].set_result({"error": "service closed"})
+                    try:
+                        item[1].set_result({"error": "service closed"})
+                    except Exception:
+                        pass  # already resolved (raced the put-side guard)
         self._pool.shutdown(wait=False)
 
     # ---- cross-request dynamic batching ------------------------------------
@@ -320,10 +324,18 @@ class ScoreService:
                 return
             pending = [item]
             stop = False
+            # Absolute deadline: a per-get timeout would RESTART the
+            # window on every arrival, stretching the first request's
+            # wait to (group_batch-1)x linger under a slow trickle; the
+            # documented contract is "wait up to linger_ms", total.
+            deadline = (time.monotonic()
+                        + max(self.linger_ms, 0.0) / 1000.0)
             while len(pending) < self.group_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
                 try:
-                    nxt = self._batch_q.get(
-                        timeout=max(self.linger_ms, 0.0) / 1000.0)
+                    nxt = self._batch_q.get(timeout=remaining)
                 except queue.Empty:
                     break
                 if nxt is None:
@@ -352,7 +364,15 @@ class ScoreService:
                           **({"id": n["id"]} if "id" in n else {})}
                          for n, _ in items]
             for (_, fut), resp in zip(items, resps):
-                fut.set_result(resp)
+                try:
+                    fut.set_result(resp)
+                except Exception:
+                    # Raced close(): handle_concurrent's put-side guard or
+                    # close()'s drain already resolved this future.  An
+                    # unguarded InvalidStateError here would kill the
+                    # collector thread and hang every later future in
+                    # this batch.
+                    pass
 
     # ---- request handling --------------------------------------------------
 
@@ -436,10 +456,25 @@ class ScoreService:
             yield chunk, ok, result
             start += len(chunk)
 
+    @staticmethod
+    def _uniform_k(requests: List[dict]) -> int:
+        """Every batcher groups by K before calling the public scoring
+        methods, but those methods are public API: a mixed-K batch would
+        silently misalign `_decoded_chunks`'s flat (1+K)-strided layout
+        and return WRONG scores, so the invariant is enforced at this
+        boundary (same policy as `_pick_g`'s oversize guard)."""
+        k = len(requests[0]["sr"])
+        if any(len(r["sr"]) != k for r in requests):
+            raise ValueError(
+                f"mixed per-request K in one micro-batch "
+                f"({sorted({len(r['sr']) for r in requests})}); group "
+                "requests by K (serve_stdio/_drain_batch do)")
+        return k
+
     def score_requests(self, requests: List[dict]) -> List[dict]:
         """Score a same-K micro-batch in ONE padded device call."""
         self._count("requests", len(requests))
-        k = len(requests[0]["sr"])
+        k = self._uniform_k(requests)
         out: List[dict] = []
         for chunk, ok, scores in self._decoded_chunks(
                 lambda g: self.scorer(k, g), requests, k):
@@ -463,7 +498,7 @@ class ScoreService:
         import os
 
         self._count("requests", len(requests))
-        k = len(requests[0]["sr"])
+        k = self._uniform_k(requests)
         self.map_scorer(  # CLU model check before any decode work
             k, self._chunk_g(len(requests)))
         out: List[dict] = []
@@ -557,10 +592,16 @@ class ScoreService:
 
 
 def _normalize(req: dict) -> dict:
-    """Validate + normalize a scoring request (sr always a list)."""
+    """Validate + normalize a scoring request (sr always a list).
+
+    Never raises: callers invoke it outside their per-request try blocks
+    (serve_stdio's parse loop, handle), so a malformed value — e.g. a
+    non-iterable ``sr: 5`` — must come back as an error RESPONSE, not a
+    TypeError that kills the serve loop."""
     gt = req.get("gt")
     sr = req.get("sr")
-    if not isinstance(gt, str) or not sr:
+    if (not isinstance(gt, str) or not sr
+            or not isinstance(sr, (str, list, tuple))):
         out = {"error": "request needs 'gt' (path) and 'sr' (path or list)"}
         if isinstance(req, dict) and "id" in req:
             out["id"] = req["id"]
@@ -611,11 +652,19 @@ def serve_stdio(service: ScoreService, inp: TextIO, out: TextIO,
         if line is None:
             break
         pending = [line]
-        # Drain whatever is already queued (micro-batch window).
-        deadline = linger_ms / 1000.0
+        # Drain whatever is already queued (micro-batch window).  The
+        # deadline is absolute — a per-get timeout would restart the
+        # window on each arrival (see _collect_loop).
+        deadline = time.monotonic() + linger_ms / 1000.0
         while len(pending) < service.group_batch:
             try:
-                nxt = q.get(timeout=deadline) if deadline else q.get_nowait()
+                if linger_ms:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    nxt = q.get(timeout=remaining)
+                else:
+                    nxt = q.get_nowait()
             except queue.Empty:
                 break
             if nxt is None:

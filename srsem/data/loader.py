@@ -39,6 +39,15 @@ def pad_batch(batch, batch_size: int):
     return ((a, b), y), mask
 
 
+def peek_first_batch(loader):
+    """First (masked) batch for shape/init probes, WITHOUT consuming a
+    :class:`Loader` epoch (see :meth:`Loader.peek_batch`); plain iterables
+    (test fixtures yielding lists) fall back to ``next(iter(...))``."""
+    if hasattr(loader, "peek_batch"):
+        return loader.peek_batch()
+    return next(iter(loader))
+
+
 class Loader:
     """Iterable over padded, masked batches with background prefetch."""
 
@@ -59,6 +68,19 @@ class Loader:
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
+
+    def peek_batch(self):
+        """One collated+padded batch for shape/init probes.
+
+        Unlike ``next(iter(loader))`` this does NOT advance the epoch
+        counter: ``__iter__`` seeds each shuffle with ``seed + epoch``, so
+        a consuming peek (run_training's init probe) would burn the
+        seed+0 ordering and make a cold-start run train epoch 0 on the
+        seed+1 shuffle — silently diverging from a warm-start run of the
+        identical config."""
+        idxs = range(min(self.batch_size, len(self.dataset)))
+        samples = [self.dataset[int(i)] for i in idxs]
+        return pad_batch(collate(samples), self.batch_size)
 
     def __iter__(self) -> Iterator:
         order = np.arange(len(self.dataset))

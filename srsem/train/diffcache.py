@@ -161,6 +161,7 @@ def train_global_sweep_cached_diffs(
     rng: Optional[jax.Array] = None,
     cache_dtype=jnp.float32,
     max_cache_bytes: Optional[int] = 8 << 30,
+    backbone_params=None,
 ) -> List[Dict]:
     """The global depth sweep with the tower amortized to ONE pass total.
 
@@ -169,15 +170,24 @@ def train_global_sweep_cached_diffs(
     2..E never touch the backbone: a jitted ``lax.scan`` over the cached
     diff batches trains all heads, with the batch order reshuffled per
     epoch (``jax.random.permutation``).
+
+    ``backbone_params``: converted pretrained tower params (``srsem
+    convert`` / CLI ``--backbone-checkpoint``) — the whole premise of
+    diff caching is "cache the frozen PRETRAINED tower's diffs", so the
+    random init is only the zero-egress/test fallback.
     """
     mesh = mesh or create_mesh(tcfg.mesh.data_axis, tcfg.mesh.model_axis)
     rng = rng if rng is not None else jax.random.PRNGKey(tcfg.seed)
     kind = cfg.backbone.kind
     backbone = make_backbone(cfg.backbone)
 
-    (a0, b0), _ = next(iter(train_loader))[0]
+    from srsem.data.loader import peek_first_batch
+
+    (a0, b0), _ = peek_first_batch(train_loader)[0]
     a0 = jnp.asarray(a0[:1])
-    bparams = replicate(mesh, backbone.init(rng, a0)["params"])
+    if backbone_params is None:
+        backbone_params = backbone.init(rng, a0)["params"]
+    bparams = replicate(mesh, backbone_params)
     # Tap SHAPES only — eval_shape traces without running the tower (an
     # eager forward here is seconds of serial host work).
     _, taps0 = jax.eval_shape(backbone.apply, {"params": bparams}, a0)
@@ -358,6 +368,11 @@ def build_local_diff_cache(
 
     if host_diffs is None:
         raise ValueError("empty loader — nothing to cache")
+    bs = ys[0].shape[0]
+    if any(y.shape[0] != bs for y in ys):
+        # Same guard as build_diff_cache: without it a ragged loader dies
+        # in np.stack with an opaque shape error.
+        raise ValueError("loader must yield fixed-size (padded) batches")
     sh = NamedSharding(mesh, P(None, DATA_AXIS))
     return {
         "diffs": [jax.device_put(np.stack(lvl), sh) for lvl in host_diffs],
@@ -377,8 +392,13 @@ def train_local_cached_diffs(
     rng: Optional[jax.Array] = None,
     cache_dtype=jnp.float32,
     max_cache_bytes: Optional[int] = 8 << 30,
+    backbone_params=None,
 ) -> Dict:
     """CLU decoder-only training with the tower amortized to ONE pass.
+
+    ``backbone_params``: converted pretrained tower (``srsem convert`` /
+    CLI ``--backbone-checkpoint``); random init is the zero-egress/test
+    fallback only.
 
     Same loss/optimizer/BatchNorm semantics as ``train_local`` for the
     decoder-only grid points (frozen tower ⇒ cached diffs are exactly what
@@ -402,10 +422,15 @@ def train_local_cached_diffs(
     model = make_local_model(cfg)
     backbone = make_backbone(cfg.backbone)
 
-    (a0, b0), _ = next(iter(train_loader))[0]
+    from srsem.data.loader import peek_first_batch
+
+    (a0, b0), _ = peek_first_batch(train_loader)[0]
     a0 = jnp.asarray(a0[:1])
     b0 = jnp.asarray(b0[:1])
     variables = model.init(rng, a0, b0, train=False)
+    if backbone_params is not None:
+        variables = {**variables, "params": {**variables["params"],
+                                             "backbone": backbone_params}}
     bparams = replicate(mesh, variables["params"]["backbone"])
     trainable, _ = partition_params(variables["params"],
                                     trainable_predicate())

@@ -53,20 +53,46 @@ def run_training(
     mesh=None,
     rng: Optional[jax.Array] = None,
     variables=None,
+    backbone_params=None,
 ) -> TrainResult:
     """Generic masked-MSE training over the mesh; returns final metrics and
     the trained state.
 
     ``variables``: optional warm-start tree ({"params": ..., optionally
     "batch_stats": ...}) — e.g. a converted torch tower (srsem convert) or
-    a prior run's state; skips the random init."""
+    a prior run's state; skips the random init.
+
+    ``backbone_params``: replace ``params["backbone"]`` with a converted
+    pretrained tower (CLI ``--backbone-checkpoint``) while the rest of the
+    tree keeps its (possibly random) init — the common "train heads on the
+    real tower" case without hand-assembling ``variables``."""
     mesh = mesh or create_mesh(cfg.mesh.data_axis, cfg.mesh.model_axis)
+    ndata = mesh.shape.get("data", 1)
+    if cfg.batch_size % ndata:
+        # shard_batch would fail mid-epoch with an opaque XLA divisibility
+        # error; fail at setup with guidance instead (same policy as
+        # ScoreService's group_batch check).  The loader pads partial
+        # batches to batch_size, so divisible batch_size ⇒ every device
+        # call shards evenly.
+        raise ValueError(
+            f"batch_size={cfg.batch_size} does not shard evenly over the "
+            f"data={ndata} mesh axis; round it up to a multiple of {ndata}")
+    own_writer = writer is None
     writer = writer or default_writer()
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
 
     if variables is None:
-        first_batch, _ = next(iter(train_loader))
+        # peek_first_batch probes shapes WITHOUT consuming the seed+0
+        # shuffle epoch (Loader.__iter__ seeds each shuffle with
+        # seed + epoch; a consuming peek would cold-start training on the
+        # seed+1 ordering and diverge from a warm-start run).
+        from srsem.data.loader import peek_first_batch
+
+        first_batch, _ = peek_first_batch(train_loader)
         variables = _init_variables(model, rng, first_batch, is_map_model)
+    if backbone_params is not None:
+        variables = {**variables, "params": {**variables["params"],
+                                             "backbone": backbone_params}}
     batch_stats = variables.get("batch_stats", {})
     trainable, frozen = partition_params(variables["params"], predicate)
 
@@ -115,7 +141,10 @@ def run_training(
                 "batch_stats": batch_stats,
             }, keep_last=cfg.checkpoint_keep_last)
 
-    writer.close()
+    if own_writer:
+        # A caller-provided writer may serve several runs (sweeps); only
+        # the writer this function created is its to close.
+        writer.close()
     return TrainResult(
         trainable=trainable, frozen=frozen, batch_stats=batch_stats,
         opt_state=opt_state, step=step, val_metrics=val_metrics, mesh=mesh)
@@ -133,10 +162,16 @@ def evaluate(steps, trainable, frozen, batch_stats, loader, mesh, is_map_model):
         valid = np.asarray(mask) > 0
         preds.append(pred[valid])
         targets.append(np.asarray(y)[valid])
-        losses.append(float(loss))
+        losses.append((float(loss), float(valid.sum())))
     preds_np = np.concatenate(preds) if preds else np.zeros((0,))
     targets_np = np.concatenate(targets) if targets else np.zeros((0,))
-    out = {"loss": float(np.mean(losses)) if losses else float("nan"),
+    # Each batch loss is already mask-normalized, so weight by the batch's
+    # VALID-row count: an equal-weight mean would let a final padded batch
+    # with one valid row count as much as a full one, making "loss"
+    # disagree with "mse" on the same data.
+    n_valid = sum(w for _, w in losses)
+    out = {"loss": (float(sum(l * w for l, w in losses) / n_valid)
+                    if n_valid else float("nan")),
            "mse": mse(preds_np, targets_np) if len(preds_np) else float("nan")}
     if not is_map_model and len(preds_np) > 1:
         out["srcc"] = srcc(preds_np, targets_np)

@@ -73,21 +73,27 @@ def train_global_sweep_shared_tower(
     val_loader,
     mesh=None,
     rng: Optional[jax.Array] = None,
+    backbone_params=None,
 ) -> List[Dict]:
     """Train every point's head simultaneously over one tower stream.
 
     Returns one summary dict per point: {name, val_srcc, val_mse,
     train_loss, head_params}.
+
+    ``backbone_params``: converted pretrained tower params (CLI
+    ``--backbone-checkpoint``); random init is the zero-egress fallback.
     """
     mesh = mesh or create_mesh(tcfg.mesh.data_axis, tcfg.mesh.model_axis)
     rng = rng if rng is not None else jax.random.PRNGKey(tcfg.seed)
     kind = cfg.backbone.kind
     backbone = make_backbone(cfg.backbone)
 
-    (a0, b0), y0 = next(iter(train_loader))[0]
+    from srsem.data.loader import peek_first_batch
+
+    (a0, b0), y0 = peek_first_batch(train_loader)[0]
     a0 = jnp.asarray(a0[:1])
-    bvars = backbone.init(rng, a0)
-    bparams = bvars["params"]
+    bparams = (backbone_params if backbone_params is not None
+               else backbone.init(rng, a0)["params"])
 
     # Per-point heads initialized on tap SHAPES — eval_shape traces
     # without running the tower (an eager forward here is seconds of
@@ -209,8 +215,12 @@ def train_local_sweep_shared_tower(
     val_loader,
     mesh=None,
     rng: Optional[jax.Array] = None,
+    backbone_params=None,
 ) -> List[Dict]:
     """CLU threshold sweep: N binarization points, ONE tower+decode stream.
+
+    ``backbone_params``: converted pretrained tower params (CLI
+    ``--backbone-checkpoint``); random init is the zero-egress fallback.
 
     The reference's 144-point CLU grid (CLU_training_sweep_example.py:
     78-89) varies ``threshold ∈ {None, 0.4, 0.9}`` — a LABEL-space axis:
@@ -258,6 +268,9 @@ def train_local_sweep_shared_tower(
     size = cfg.backbone.image_size
     z = jnp.zeros((1, size, size, 3))
     variables = model.init(rng, z, z, train=False)
+    if backbone_params is not None:
+        variables = {**variables, "params": {**variables["params"],
+                                             "backbone": backbone_params}}
     trainable0, frozen = partition_params(variables["params"],
                                           trainable_predicate())
     stats0 = variables.get("batch_stats", {})

@@ -291,6 +291,7 @@ def solve_global_sweep_closed_form(
     mesh=None,
     l2: float = 1e-6,
     rng: Optional[jax.Array] = None,
+    backbone_params=None,
 ) -> List[Dict]:
     """The global sweep SOLVED exactly instead of trained: one tower pass
     builds the stat cache, then every grid point is a closed-form ridge
@@ -298,15 +299,22 @@ def solve_global_sweep_closed_form(
     :func:`train_global_sweep_cached_stats` (val SRCC/MSE + head params
     per point); the epochs knob does not exist here — the solution IS the
     pre-ReLU optimum.
+
+    ``backbone_params``: converted pretrained tower params (CLI
+    ``--backbone-checkpoint``); random init is the zero-egress fallback.
     """
     mesh = mesh or create_mesh(tcfg.mesh.data_axis, tcfg.mesh.model_axis)
     rng = rng if rng is not None else jax.random.PRNGKey(tcfg.seed)
     kind = cfg.backbone.kind
     backbone = make_backbone(cfg.backbone)
 
-    (a0, _b0), _ = next(iter(train_loader))[0]
+    from srsem.data.loader import peek_first_batch
+
+    (a0, _b0), _ = peek_first_batch(train_loader)[0]
     a0 = jnp.asarray(a0[:1])
-    bparams = replicate(mesh, backbone.init(rng, a0)["params"])
+    if backbone_params is None:
+        backbone_params = backbone.init(rng, a0)["params"]
+    bparams = replicate(mesh, backbone_params)
 
     tap_union = sorted({n for p in points for n in p.tap_names(kind)})
     cache = build_stat_cache(backbone, bparams, tap_union, train_loader, mesh)
@@ -346,6 +354,7 @@ def train_global_sweep_cached_stats(
     mesh=None,
     rng: Optional[jax.Array] = None,
     closed_form_init: bool = False,
+    backbone_params=None,
 ) -> List[Dict]:
     """The global sweep trained entirely from per-layer diff statistics.
 
@@ -365,9 +374,13 @@ def train_global_sweep_cached_stats(
     kind = cfg.backbone.kind
     backbone = make_backbone(cfg.backbone)
 
-    (a0, _b0), _ = next(iter(train_loader))[0]
+    from srsem.data.loader import peek_first_batch
+
+    (a0, _b0), _ = peek_first_batch(train_loader)[0]
     a0 = jnp.asarray(a0[:1])
-    bparams = replicate(mesh, backbone.init(rng, a0)["params"])
+    if backbone_params is None:
+        backbone_params = backbone.init(rng, a0)["params"]
+    bparams = replicate(mesh, backbone_params)
 
     tap_union = sorted({n for p in points for n in p.tap_names(kind)})
     cache = build_stat_cache(backbone, bparams, tap_union, train_loader, mesh)

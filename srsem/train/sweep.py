@@ -48,9 +48,13 @@ def grid_points(axes: Mapping[str, Sequence[Any]]) -> Iterable[Dict[str, Any]]:
 
 
 def make_global_train_fn(csv_path: str, root: str, base_tcfg=None,
-                         backbone: str = "resnet50_clip"):
+                         backbone: str = "resnet50_clip",
+                         backbone_params=None):
     """Grid point {depth} → one global-regressor training run
-    (reference: CLIPLPIPS_REG_training_sweep_example.py:118-199)."""
+    (reference: CLIPLPIPS_REG_training_sweep_example.py:118-199).
+
+    ``backbone_params``: converted pretrained tower params shared by every
+    grid point (CLI ``--backbone-checkpoint``)."""
 
     def train_fn(point):
         from srsem.core.config import (BackboneConfig, GlobalModelConfig,
@@ -69,16 +73,20 @@ def make_global_train_fn(csv_path: str, root: str, base_tcfg=None,
         result = train_global(
             cfg, tcfg,
             Loader(Subset(ds, tr), tcfg.batch_size, shuffle=True, seed=tcfg.seed),
-            Loader(Subset(ds, va), tcfg.batch_size))
+            Loader(Subset(ds, va), tcfg.batch_size),
+            backbone_params=backbone_params)
         return result.val_metrics
 
     return train_fn
 
 
-def make_clu_train_fn(csv_path: str, base_tcfg=None):
+def make_clu_train_fn(csv_path: str, base_tcfg=None, backbone_params=None):
     """Grid point {imgamincaps, only_hq, lora_rank, threshold,
     backbone_kind} → one CLU training run
-    (reference: CLU_training_sweep_example.py:92-180)."""
+    (reference: CLU_training_sweep_example.py:92-180).
+
+    ``backbone_params`` (frozen-tower cells only): converted pretrained
+    tower params (CLI ``--backbone-checkpoint``)."""
 
     def train_fn(point):
         from srsem.core.config import (BackboneConfig, LocalModelConfig,
@@ -106,7 +114,8 @@ def make_clu_train_fn(csv_path: str, base_tcfg=None):
         result = train_local(
             cfg, tcfg,
             Loader(Subset(ds, tr), tcfg.batch_size, shuffle=True, seed=tcfg.seed),
-            Loader(Subset(ds, va), tcfg.batch_size))
+            Loader(Subset(ds, va), tcfg.batch_size),
+            backbone_params=backbone_params)
         return result.val_metrics
 
     return train_fn
@@ -142,6 +151,7 @@ def run_clu_sweep(
     base_tcfg=None,
     summary_path: Optional[str] = None,
     shared_thresholds: bool = False,
+    backbone_params=None,
 ) -> list:
     """The CLU grid, optionally with the threshold axis trained N-for-1.
 
@@ -155,8 +165,10 @@ def run_clu_sweep(
     points train the tower, so they fall back to standalone runs.
     """
     if not shared_thresholds:
-        return run_sweep(make_clu_train_fn(csv_path, base_tcfg), axes,
-                         summary_path=summary_path)
+        return run_sweep(
+            make_clu_train_fn(csv_path, base_tcfg,
+                              backbone_params=backbone_params),
+            axes, summary_path=summary_path)
     from srsem.core.config import BackboneConfig, LocalModelConfig, TrainConfig
     from srsem.data.datasets import KoniqPairsMapsDataset, Subset, seeded_split
     from srsem.data.loader import Loader
@@ -165,7 +177,8 @@ def run_clu_sweep(
 
     thresholds = list(axes.get("threshold", [None]))
     outer = {k: v for k, v in axes.items() if k != "threshold"}
-    plain_fn = make_clu_train_fn(csv_path, base_tcfg)
+    plain_fn = make_clu_train_fn(csv_path, base_tcfg,
+                                 backbone_params=backbone_params)
 
     results = []
     f = open(summary_path, "a") if summary_path else None
@@ -200,7 +213,8 @@ def run_clu_sweep(
                 thresholds, cfg, tcfg,
                 Loader(Subset(ds, tr), tcfg.batch_size, shuffle=True,
                        seed=tcfg.seed),
-                Loader(Subset(ds, va), tcfg.batch_size))
+                Loader(Subset(ds, va), tcfg.batch_size),
+                backbone_params=backbone_params)
             dt = time.time() - t0
             for t, r in zip(thresholds, cell_results):
                 point = {**cell, "threshold": t}

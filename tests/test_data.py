@@ -106,6 +106,31 @@ def test_collate_pad_and_loader(user_study_tree):
     assert mask.sum() == 2  # 6 items → final batch has 2 valid rows
 
 
+def test_peek_batch_does_not_consume_epoch(user_study_tree):
+    """The init probe (run_training/diffcache/statcache/multisweep) must
+    not burn the seed+0 shuffle: peek_batch returns a full padded batch
+    without advancing the epoch counter, so a cold-start run trains
+    epoch 0 on exactly the ordering a no-peek run would see."""
+    from srsem.data.loader import peek_first_batch
+
+    csv, root = user_study_tree
+    pre = Preprocess(size=32, crop_pct=1.0)
+    ds = UserStudyScores(csv, root, pre)
+
+    def first_labels(loader):
+        return [np.asarray(y)[m > 0] for (( _a, _b), y), m in loader]
+
+    peeked = Loader(ds, batch_size=4, shuffle=True, seed=0, num_workers=2)
+    ((pa, _pb), _py), pmask = peek_first_batch(peeked)
+    assert pa.shape == (4, 32, 32, 3) and pmask.shape == (4,)
+    fresh = Loader(ds, batch_size=4, shuffle=True, seed=0, num_workers=2)
+    for got, want in zip(first_labels(peeked), first_labels(fresh)):
+        np.testing.assert_array_equal(got, want)
+    # plain iterables fall back to next(iter(...))
+    sentinel = [("batch0", "mask0")]
+    assert peek_first_batch(sentinel) == ("batch0", "mask0")
+
+
 def test_seeded_split_deterministic():
     tr1, va1 = seeded_split(100, 0.2, 42)
     tr2, va2 = seeded_split(100, 0.2, 42)

@@ -243,6 +243,23 @@ def test_handle_concurrent_coalesces(setup):
     service.close()
 
 
+def test_normalize_never_raises_and_uniform_k_guard():
+    """A malformed 'sr' (non-iterable / non-path container) must come back
+    as an error RESPONSE — serve_stdio calls _normalize outside its
+    per-request try, so a TypeError here killed the whole serve loop.
+    Mixed-K micro-batches are rejected at the public scoring boundary
+    (they would silently misalign the (1+K)-strided decode layout)."""
+    from srsem.cli.serve import _normalize
+
+    for bad_sr in (5, 1.5, True, {"x": "y"}, [1, 2], ["a.jpg", 7], [], ""):
+        out = _normalize({"gt": "a.jpg", "sr": bad_sr, "id": 9})
+        assert "error" in out and out["id"] == 9, bad_sr
+
+    assert ScoreService._uniform_k([{"sr": ["a"]}, {"sr": ["b"]}]) == 1
+    with pytest.raises(ValueError, match="mixed"):
+        ScoreService._uniform_k([{"sr": ["a"]}, {"sr": ["a", "b"]}])
+
+
 def test_bucket_ladder_logic(setup):
     """Compiled batch-shape buckets (ScoreService._ladder/_pick_g): powers
     of two up to group_batch, mesh-divisible only; the smallest bucket that

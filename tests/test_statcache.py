@@ -243,9 +243,15 @@ def test_closed_form_sweep_fits_learnable_signal():
     assert n_heads == 3
 
     # closed_form_init: Adam starting AT the optimum must not lose it in
-    # a couple of refinement epochs.
+    # a couple of refinement epochs.  The refinement lr must be small for
+    # this head: Adam's scale-free steps move EVERY kernel component by
+    # ~lr, and with thousands of large sufficient-statistic inputs a
+    # single step shifts predictions by O(fan_in·|stat|·lr) — at lr 1e-4
+    # that is an O(10) functional drift on the ×100-label point (measured:
+    # mse 0→69, SRCC 0.77-0.80 depending on batch order), while lr 1e-5
+    # stays at the optimum (SRCC 0.99, mse 0.67) for any ordering.
     jax.clear_caches()
-    tcfg2 = TrainConfig(lr=1e-4, batch_size=8, epochs=2, seed=0)
+    tcfg2 = TrainConfig(lr=1e-5, batch_size=8, epochs=2, seed=0)
     refined = train_global_sweep_cached_stats(
         points, cfg, tcfg2, loader, loader, rng=jax.random.PRNGKey(0),
         closed_form_init=True)

@@ -209,3 +209,54 @@ def test_restore_without_target_returns_raw_tree(tmp_path):
     save_checkpoint(str(tmp_path), 1, tree)
     raw = restore_checkpoint(str(tmp_path))
     np.testing.assert_array_equal(raw["trainable"]["w"], np.arange(3.0))
+
+
+def test_run_training_batch_mesh_guard_and_backbone_injection():
+    """(a) batch_size that doesn't shard evenly over the data axis fails at
+    SETUP with guidance, not mid-epoch with an opaque XLA divisibility
+    error; (b) ``backbone_params`` swaps the frozen tower (the converted-
+    checkpoint path) without hand-assembling ``variables``; (c) a caller-
+    provided writer survives the run (sweeps reuse one writer)."""
+    import jax
+    import jax.numpy as jnp
+
+    from srsem.models.global_models import make_global_model
+    from srsem.train.loop import run_training
+
+    mesh8 = create_mesh(8, 1)
+    bad = TrainConfig(batch_size=5, epochs=0, checkpoint_dir=None)
+    with pytest.raises(ValueError, match="shard evenly"):
+        run_training(None, False, [], [], bad,
+                     trainable_predicate(), mesh=mesh8)
+
+    cfg = GlobalModelConfig(
+        backbone=BackboneConfig(kind="resnet50_clip", image_size=32,
+                                compute_dtype="float32"),
+        head="stages_cnn", depth=1)
+    model = make_global_model(cfg)
+    z = jnp.zeros((1, 32, 32, 3))
+    vs = model.init(jax.random.PRNGKey(0), z, z)
+    tower = jax.tree.map(lambda x: x + 1.0, vs["params"]["backbone"])
+
+    class Writer:
+        closed = False
+
+        def write(self, step, metrics):
+            pass
+
+        def close(self):
+            self.closed = True
+
+    w = Writer()
+    # epochs=0: the injection is observable without compiling a step.
+    res = run_training(model, False, [], [], 
+                       TrainConfig(batch_size=8, epochs=0,
+                                   checkpoint_dir=None),
+                       trainable_predicate(), writer=w,
+                       mesh=create_mesh(1, 1), variables=vs,
+                       backbone_params=tower)
+    leaf_got = jax.device_get(
+        jax.tree.leaves(res.frozen["backbone"])[0])
+    leaf_want = np.asarray(jax.tree.leaves(tower)[0])
+    np.testing.assert_array_equal(leaf_got, leaf_want)
+    assert not w.closed  # caller-owned writer stays open
