@@ -26,6 +26,11 @@ import jax.numpy as jnp
 
 from srsem.ops.image import CLIP_MEAN, CLIP_STD, IMAGENET_MEAN, IMAGENET_STD
 
+#: Canonical image-file extensions for folder jobs — ONE home so the
+#: folder-metrics sweep and the grouped scorer match the same files
+#: (they drifted: grouped once omitted .tiff/.tif).
+IMG_EXTENSIONS = {".jpg", ".jpeg", ".png", ".bmp", ".tiff", ".tif"}
+
 
 @dataclasses.dataclass(frozen=True)
 class Preprocess:

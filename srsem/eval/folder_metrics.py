@@ -37,9 +37,8 @@ import numpy as np
 import pandas as pd
 from PIL import Image
 
+from srsem.data.preprocess import IMG_EXTENSIONS  # noqa: F401 (re-export)
 from srsem.explain.iqa import psnr as psnr_fn, ssim as ssim_fn
-
-IMG_EXTENSIONS = {".jpg", ".jpeg", ".png", ".bmp", ".tiff", ".tif"}
 
 KONIQPP_COLUMNS = ("Koniq++IQA", "Koniq++blur", "Koniq++artifacts",
                    "Koniq++contrast", "Koniq++color")
@@ -87,59 +86,85 @@ class ImageQualityMetrics:
         return np.asarray(img, np.float32) / 255.0
 
     def batch(self, gt_paths: Sequence[str], eval_paths: Sequence[str],
-              workers: int = 8) -> List[Dict[str, float]]:
+              workers: int = 8,
+              decode_chunk: Optional[int] = None) -> List[Dict[str, float]]:
         """Metrics for matched path lists; failed rows carry NaNs
-        (reference: 1_compute_image_metrics.py:119-134)."""
+        (reference: 1_compute_image_metrics.py:119-134).
+
+        Decode is CHUNKED (``decode_chunk`` pairs in flight, default
+        4x batch_size): a reference-scale 10k-pair folder decoded up
+        front would hold ~12 GB of float32 at 224px and far more in
+        native-resolution mode — the window bounds host memory at
+        O(decode_chunk) images while the device still sees full
+        ``batch_size`` programs (shape buckets re-form per window)."""
         def safe_load(pair):
             try:
                 return self._load(pair[0]), self._load(pair[1])
             except Exception:
                 return None
 
-        with cf.ThreadPoolExecutor(max_workers=workers) as pool:
-            decoded = list(pool.map(safe_load, zip(gt_paths, eval_paths)))
-
-        results: List[Dict[str, float]] = []
-        ok_idx = [i for i, d in enumerate(decoded) if d is not None]
+        n = len(gt_paths)
+        window = decode_chunk or max(4 * self.batch_size, 64)
         nan_row = {"SSIM": np.nan, "PSNR": np.nan, "LPIPS": np.nan,
                    **{c: np.nan for c in KONIQPP_COLUMNS}}
-        rows = [dict(nan_row) for _ in decoded]
-
+        rows = [dict(nan_row) for _ in range(n)]
         batched_nr = getattr(self.koniqpp, "batch", None)
-        # Bucket by shape (native-resolution mode: one bucket per image
-        # size; the fixed-size mode degenerates to a single bucket).
-        # A pair whose two images disagree in shape keeps its NaN row —
-        # the reference's pyiqa call would raise there too (:119-134).
-        buckets: Dict[tuple, List[int]] = {}
-        for i in ok_idx:
-            g, e = decoded[i]
-            if g.shape != e.shape:
-                continue
-            buckets.setdefault(g.shape, []).append(i)
-        chunks = [idxs[s: s + self.batch_size]
-                  for idxs in buckets.values()
-                  for s in range(0, len(idxs), self.batch_size)]
-        for chunk in chunks:
-            gt = jnp.asarray(np.stack([decoded[i][0] for i in chunk]))
-            ev = jnp.asarray(np.stack([decoded[i][1] for i in chunk]))
-            ssim_v, psnr_v = self._classical(gt, ev)
-            lpips_v = self.lpips_fn(gt, ev)
-            for j, i in enumerate(chunk):
-                rows[i]["SSIM"] = float(ssim_v[j])
-                rows[i]["PSNR"] = float(psnr_v[j])
-                rows[i]["LPIPS"] = float(lpips_v[j])
-            if batched_nr is not None:
-                # NR-IQA rides the already-decoded eval batch on device
-                # (ImageNet-normalized, the head's training-time input —
-                # srsem/train/nr_iqa.py) instead of a per-path re-decode.
-                from srsem.ops.image import IMAGENET_MEAN, IMAGENET_STD, normalize
+        per_path_nr_idx: List[int] = []
 
-                nr = np.asarray(batched_nr(
-                    normalize(ev, IMAGENET_MEAN, IMAGENET_STD)))
-                for j, i in enumerate(chunk):
-                    rows[i].update(dict(zip(KONIQPP_COLUMNS, nr[j].tolist())))
+        from srsem.ops.image import IMAGENET_MEAN, IMAGENET_STD, normalize
+
+        with cf.ThreadPoolExecutor(max_workers=workers) as pool:
+            for start in range(0, n, window):
+                span = range(start, min(start + window, n))
+                decoded = list(pool.map(
+                    safe_load, ((gt_paths[i], eval_paths[i]) for i in span)))
+                ok = [(i, d) for i, d in zip(span, decoded) if d is not None]
+                per_path_nr_idx.extend(i for i, _ in ok)
+
+                # FR metrics bucket by PAIR shape (native-resolution mode:
+                # one bucket per image size; fixed-size mode degenerates
+                # to a single bucket).  A pair whose two images disagree
+                # in shape keeps its NaN FR columns — the reference's
+                # pyiqa call would raise there too (:119-134).
+                fr_buckets: Dict[tuple, List[int]] = {}
+                # NR (KonIQ++) needs only the EVAL image, so it buckets by
+                # eval shape over EVERY decodable row — a GT/eval shape
+                # mismatch must not blank the no-reference columns.
+                nr_buckets: Dict[tuple, List[int]] = {}
+                local = {i: d for i, d in ok}
+                for i, (g, e) in ok:
+                    if g.shape == e.shape:
+                        fr_buckets.setdefault(g.shape, []).append(i)
+                    nr_buckets.setdefault(e.shape, []).append(i)
+
+                for idxs in fr_buckets.values():
+                    for s in range(0, len(idxs), self.batch_size):
+                        chunk = idxs[s: s + self.batch_size]
+                        gt = jnp.asarray(np.stack([local[i][0] for i in chunk]))
+                        ev = jnp.asarray(np.stack([local[i][1] for i in chunk]))
+                        ssim_v, psnr_v = self._classical(gt, ev)
+                        lpips_v = self.lpips_fn(gt, ev)
+                        for j, i in enumerate(chunk):
+                            rows[i]["SSIM"] = float(ssim_v[j])
+                            rows[i]["PSNR"] = float(psnr_v[j])
+                            rows[i]["LPIPS"] = float(lpips_v[j])
+                if batched_nr is not None:
+                    # NR-IQA rides the already-decoded eval batch on
+                    # device (ImageNet-normalized, the head's training-
+                    # time input — srsem/train/nr_iqa.py) instead of a
+                    # per-path re-decode.
+                    for idxs in nr_buckets.values():
+                        for s in range(0, len(idxs), self.batch_size):
+                            chunk = idxs[s: s + self.batch_size]
+                            ev = jnp.asarray(
+                                np.stack([local[i][1] for i in chunk]))
+                            nr = np.asarray(batched_nr(
+                                normalize(ev, IMAGENET_MEAN, IMAGENET_STD)))
+                            for j, i in enumerate(chunk):
+                                rows[i].update(dict(zip(KONIQPP_COLUMNS,
+                                                        nr[j].tolist())))
         if self.koniqpp is not None and batched_nr is None:
-            for i in ok_idx:
+            for i in per_path_nr_idx:
                 try:
                     rows[i].update(self.koniqpp(eval_paths[i]))
                 except Exception:
@@ -195,7 +220,12 @@ def process_image_folders(metrics_calc: ImageQualityMetrics, gt_folder: str,
 
     if os.path.exists(output_csv):
         existing = pd.read_csv(output_csv)
-        if len(existing) == len(common):
+        # Row COUNT alone is an unsound idempotence check: a renamed or
+        # replaced image keeps the count equal while the CSV rows go
+        # stale.  The stem list must match exactly (order included — rows
+        # are written in sorted-stem order).
+        if ("image_name" in existing.columns
+                and list(existing["image_name"].astype(str)) == list(common)):
             return existing
 
     gt_paths = [str(gt_files[n]) for n in common]

@@ -30,7 +30,7 @@ import numpy as np
 
 from srsem.core.config import GlobalModelConfig, LocalModelConfig
 from srsem.core.meshes import batch_sharding, create_mesh, replicated_sharding
-from srsem.data.preprocess import Preprocess
+from srsem.data.preprocess import IMG_EXTENSIONS as _EXTS, Preprocess
 from srsem.models.global_models import (
     fused_grouped_head,
     fused_grouped_token_head,
@@ -43,7 +43,6 @@ CONV_HEADS = ("stages_cnn", "wperlay_cnn")
 VIT_HEADS = ("single_lin_vit", "stages_vit", "wperlay_vit")
 GROUPED_HEADS = CONV_HEADS + VIT_HEADS
 
-_EXTS = {".jpg", ".jpeg", ".png", ".bmp"}
 
 
 def _sr_model_names(sr_folders: Sequence[str]) -> List[str]:

@@ -73,19 +73,32 @@ class PairScorer:
         self.model_kind = model_kind
         self.num_workers = num_workers
         self.decode_backend = decode_backend
+        if decode_backend == "native":
+            # Fail fast on the CONFIG error: decode_uint8_native returns
+            # None both for "library not built" and "file undecodable", so
+            # without this check a missing native lib surfaces as an
+            # all-NaN result set masquerading as per-file data failures.
+            from srsem import native
+
+            if not native.available():
+                raise RuntimeError(
+                    "decode_backend='native' but the native decoder is "
+                    "unavailable — build srsem/native (see `srsem info "
+                    "--native`) or use the default PIL backend")
         self.preprocess = Preprocess.for_backbone(
             cfg.backbone.kind, cfg.backbone.image_size, fast_jpeg=fast_jpeg)
-        if model_kind == "global":
-            self.model = make_global_model(cfg)
-        else:
-            # Split tower applies on multi-device meshes: the data-sharded
-            # GT+SR concat would force a GSPMD all-to-all reshard (see
-            # CluUnet.split_tower); single-chip keeps the faster 2N-concat
-            # form.
-            from srsem.core.meshes import DATA_AXIS
+        # Split tower applies on multi-device meshes: the data-sharded
+        # GT+SR concat would force a GSPMD all-to-all reshard (see
+        # CluUnet.split_tower); single-chip keeps the faster 2N-concat
+        # form.  Applies to BOTH the local CLU and the global
+        # head="unet_global" CluUnet copy.
+        from srsem.core.meshes import DATA_AXIS
 
-            self.model = make_local_model(
-                cfg, split_tower=self.mesh.shape[DATA_AXIS] > 1)
+        split = self.mesh.shape[DATA_AXIS] > 1
+        if model_kind == "global":
+            self.model = make_global_model(cfg, split_tower=split)
+        else:
+            self.model = make_local_model(cfg, split_tower=split)
 
         repl = replicated_sharding(self.mesh)
         data = batch_sharding(self.mesh)
@@ -184,16 +197,11 @@ class PairScorer:
         """Score a uint8 NHWC batch pair.  The batch is zero-padded up to a
         multiple of the mesh's ``data`` axis (the sharded dim must divide
         evenly) and the padding rows are trimmed from the result."""
-        n = a_u8.shape[0]
-        n_data = self.mesh.shape["data"]
-        pad = (-n) % n_data
-        if pad:
-            a_u8 = np.concatenate(
-                [np.asarray(a_u8), np.zeros((pad,) + a_u8.shape[1:],
-                                            a_u8.dtype)], axis=0)
-            b_u8 = np.concatenate(
-                [np.asarray(b_u8), np.zeros((pad,) + b_u8.shape[1:],
-                                            b_u8.dtype)], axis=0)
+        from srsem.eval.grouped import _pad_to_data_axis
+
+        n, a_u8, b_u8 = _pad_to_data_axis(
+            self.mesh, np.asarray(a_u8), np.asarray(b_u8))
+        pad = a_u8.shape[0] - n
         data = batch_sharding(self.mesh)
         a_d = jax.device_put(a_u8, data)
         b_d = jax.device_put(b_u8, data)

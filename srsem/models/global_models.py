@@ -447,7 +447,11 @@ class GlobalPairScorer(nn.Module):
         return self.aggregator(diffs)
 
 
-def make_global_model(cfg: GlobalModelConfig):
+def make_global_model(cfg: GlobalModelConfig, split_tower: bool = False):
+    """``split_tower`` only affects ``head="unet_global"`` (the CluUnet
+    copy): mesh-aware callers pass ``mesh.shape["data"] > 1`` so the
+    GT+SR tower concat never forces a GSPMD all-to-all reshard (see
+    CluUnet.split_tower); the conv/vit heads ignore it."""
     if cfg.head == "unet_global":
         # The reference's global CLIP_lpips_Unet copy — the CLU decoder
         # without the final sigmoid, emitting a raw map
@@ -458,5 +462,6 @@ def make_global_model(cfg: GlobalModelConfig):
             backbone_kind=cfg.backbone.kind,
             compute_dtype=jnp.dtype(cfg.backbone.compute_dtype),
             image_size=cfg.backbone.image_size,
-            sigmoid=False)
+            sigmoid=False,
+            split_tower=split_tower)
     return GlobalPairScorer(cfg)

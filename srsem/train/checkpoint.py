@@ -39,20 +39,30 @@ def save_checkpoint(directory: str, step: int, tree: Dict[str, Any],
     tree = jax.device_get(tree)
     with open(path, "wb") as f:
         f.write(serialization.to_bytes(tree))
-    with open(os.path.join(directory, "latest.json"), "w") as f:
+    # latest.json is the crash-safety linchpin (see docstring), so its own
+    # write must be atomic: a kill/disk-full mid-json.dump would leave a
+    # truncated pointer and brick every future restore even though valid
+    # step files exist.  Write-to-temp + os.replace is atomic on POSIX.
+    meta = os.path.join(directory, "latest.json")
+    tmp = meta + ".tmp"
+    with open(tmp, "w") as f:
         json.dump({"step": step, "path": path}, f)
+    os.replace(tmp, meta)
     if keep_last is not None and keep_last > 0:
-        steps = sorted(
-            int(name[len("step_"):-len(".msgpack")])
+        # Prune by the LISTED filenames, not names re-derived from the
+        # parsed step: "step_0010.msgpack" parses to 10 but re-deriving
+        # "step_10.msgpack" would os.remove a non-existent path (and
+        # "step_7"/"step_07" would double-delete one step).
+        entries = sorted(
+            (int(name[len("step_"):-len(".msgpack")]), name)
             for name in os.listdir(directory)
             if name.startswith("step_") and name.endswith(".msgpack")
             and name[len("step_"):-len(".msgpack")].isdigit())
-        fresh = [s for s in steps if s <= step]
-        stale = [s for s in steps if s > step]
-        for old in stale + fresh[:-keep_last]:
-            if old != step:
-                os.remove(os.path.join(directory,
-                                       f"step_{old}.msgpack"))
+        fresh = [e for e in entries if e[0] <= step]
+        stale = [e for e in entries if e[0] > step]
+        for old, name in stale + fresh[:-keep_last]:
+            if name != f"step_{step}.msgpack":
+                os.remove(os.path.join(directory, name))
     return path
 
 
@@ -60,8 +70,17 @@ def latest_step(directory: str) -> Optional[int]:
     meta = os.path.join(directory, "latest.json")
     if not os.path.exists(meta):
         return None
-    with open(meta) as f:
-        return int(json.load(f)["step"])
+    try:
+        with open(meta) as f:
+            return int(json.load(f)["step"])
+    except (ValueError, KeyError):
+        # Pointer corrupted by a pre-atomic-write crash: recover from the
+        # step files themselves rather than bricking resume.
+        steps = [int(n[len("step_"):-len(".msgpack")])
+                 for n in os.listdir(directory)
+                 if n.startswith("step_") and n.endswith(".msgpack")
+                 and n[len("step_"):-len(".msgpack")].isdigit()]
+        return max(steps) if steps else None
 
 
 def restore_checkpoint(directory: str, target: Optional[Dict[str, Any]] = None,

@@ -216,3 +216,16 @@ def test_head_bias_init_config_modes(rng):
     x = jax.random.uniform(rng, (1, 64, 64, 3))
     with pytest.raises(ValueError, match="head_bias_init"):
         model.init(jax.random.PRNGKey(11), x, x)
+
+
+def test_make_global_model_unet_split_tower(rng):
+    """head='unet_global' propagates split_tower so mesh-aware callers
+    (PairScorer on a data>1 mesh) avoid the GT+SR concat's GSPMD
+    all-to-all reshard (CluUnet.split_tower; CLAUDE.md convention)."""
+    cfg = GlobalModelConfig(
+        backbone=BackboneConfig(kind="resnet50_clip", image_size=32,
+                                compute_dtype="float32"),
+        head="unet_global")
+    assert make_global_model(cfg).split_tower is False
+    m = make_global_model(cfg, split_tower=True)
+    assert m.split_tower is True and m.sigmoid is False

@@ -129,3 +129,24 @@ def test_fast_jpeg_batch(big_jpeg, image_files):
     imgs, ok = native.decode_batch([big_jpeg, pj, pp], 128, fast_jpeg=True)
     assert imgs.shape == (3, 128, 128, 3)
     assert ok.all()
+
+
+def test_scorer_rejects_native_backend_when_unavailable(monkeypatch):
+    """decode_backend='native' without the native library must fail at
+    CONSTRUCTION: decode_uint8_native returns None for both 'library
+    missing' and 'file undecodable', so without the guard a config error
+    surfaced as an all-NaN result set."""
+    import pytest
+
+    from srsem import native
+    from srsem.core.config import BackboneConfig, GlobalModelConfig
+    from srsem.eval.scorer import PairScorer
+
+    monkeypatch.setattr(native, "available", lambda: False)
+    cfg = GlobalModelConfig(
+        backbone=BackboneConfig(kind="resnet50", image_size=32,
+                                compute_dtype="float32"),
+        head="stages_cnn", depth=1)
+    with pytest.raises(RuntimeError, match="native decoder is unavailable"):
+        PairScorer(cfg, {"params": {}}, batch_size=4,
+                   decode_backend="native")

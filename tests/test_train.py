@@ -260,3 +260,28 @@ def test_run_training_batch_mesh_guard_and_backbone_injection():
     leaf_want = np.asarray(jax.tree.leaves(tower)[0])
     np.testing.assert_array_equal(leaf_got, leaf_want)
     assert not w.closed  # caller-owned writer stays open
+
+
+def test_checkpoint_prune_and_pointer_robustness(tmp_path):
+    """(a) Retention prunes the LISTED filenames — a zero-padded
+    step_0010.msgpack must not crash the prune by re-deriving a
+    non-existent step_10.msgpack; (b) a corrupt latest.json (pre-atomic-
+    write crash) recovers from the step files instead of bricking resume."""
+    import json
+
+    from srsem.train.checkpoint import latest_step
+
+    d = str(tmp_path)
+    save_checkpoint(d, 1, {"w": np.ones(2)})
+    # hand-copied zero-padded file from an older tool
+    with open(tmp_path / "step_0010.msgpack", "wb") as f:
+        f.write(open(tmp_path / "step_1.msgpack", "rb").read())
+    save_checkpoint(d, 12, {"w": np.ones(2)}, keep_last=1)
+    names = sorted(p.name for p in tmp_path.glob("step_*.msgpack"))
+    assert names == ["step_12.msgpack"]  # both old files pruned, no crash
+
+    with open(tmp_path / "latest.json", "w") as f:
+        f.write('{"step": 12')  # truncated mid-write
+    assert latest_step(d) == 12  # recovered from the step files
+    tree = restore_checkpoint(d)
+    np.testing.assert_array_equal(tree["w"], np.ones(2))
