@@ -46,9 +46,14 @@ def _separable_filter(x: Array, kernel_1d: Array) -> Array:
 
 def _box_filter_mean(x: Array, window: int) -> Array:
     """Per-pixel mean over a replicate-padded window×window neighborhood via
-    separable depthwise convolution.  x: (N, H, W, C)."""
+    separable depthwise convolution.  x: (N, H, W, C) → (N, H, W, C).
+
+    Total pad is ``window - 1`` split (half, window-1-half): a symmetric
+    (half, half) pad followed by a VALID conv returns (H+1, W+1) maps for
+    EVEN windows, breaking the documented same-shape contract."""
     half = window // 2
-    x = jnp.pad(x, ((0, 0), (half, half), (half, half), (0, 0)), mode="edge")
+    x = jnp.pad(x, ((0, 0), (half, window - 1 - half),
+                    (half, window - 1 - half), (0, 0)), mode="edge")
     return _separable_filter(x, jnp.ones((window,), x.dtype) / window)
 
 

@@ -99,8 +99,15 @@ def write_cosine_map_dataset(
         if not os.path.exists(out_path):
             cosmap, ncaps = assemble_cosine_map(
                 panoptic, caps_a, caps_b, embedder)
-            with open(out_path, "wb") as f:
+            # Atomic write: skip-existing resume + a non-atomic dump means
+            # a kill mid-write (stale-claim hangs / collective SIGABRTs
+            # are routine here, CLAUDE.md) would leave a truncated .pkl
+            # that every rerun then skips — permanently poisoning the
+            # dataset the CSV references.
+            tmp = out_path + ".tmp"
+            with open(tmp, "wb") as f:
                 pickle.dump(cosmap, f)
+            os.replace(tmp, out_path)
         else:
             ncaps = len(caps_a)
         rows.append({"img_a_pth": img_a, "img_b_pth": img_b,

@@ -38,7 +38,13 @@ def default_folders(root: str = "koniq-10k_sr") -> List[str]:
 
 def parse_caption_file(path: str) -> Dict[str, str]:
     """caption txt → {image_stem: caption}.  The stem is the image name up
-    to the first dot (reference: qwen_caps_embedding_script.py:38)."""
+    to the first dot (reference: qwen_caps_embedding_script.py:38).
+
+    Splitting on every ``"Image: "`` occurrence mirrors the reference's
+    ``load_captions`` (:26-29) verbatim — a caption whose TEXT contains
+    the marker is truncated there too; kept for byte-identical parsing of
+    reference-produced caption files (chunks without ``\\nCaption:`` are
+    skipped here where the reference would IndexError)."""
     with open(path) as f:
         raw = f.read()
     out: Dict[str, str] = {}
@@ -71,18 +77,27 @@ def merge_caption_dicts(dicts: Sequence[Dict[str, str]],
                         folders: Sequence[str],
                         exts=(".jpg", ".png")) -> Dict[str, str]:
     """Key each caption by the image's full path (reference:
-    qwen_caps_embedding_script.py:43-57)."""
+    qwen_caps_embedding_script.py:43-57).
+
+    The reference infers ONE extension per folder from its first listed
+    image, so in a mixed-extension folder every other extension gets a
+    wrong key and the scoring lookup KeyErrors.  Here a stem resolves to
+    its ACTUAL listed filename when present (matching what
+    :func:`enumerate_pairs` emits), with the reference's folder-wide
+    inference as the fallback — identical keys in uniform folders."""
     merged: Dict[str, str] = {}
     for d, folder in zip(dicts, folders):
+        by_stem: Dict[str, str] = {}
         ext = None
         if os.path.isdir(folder):
-            for e in os.listdir(folder):
+            for e in sorted(os.listdir(folder)):
                 if e.endswith(exts):
-                    ext = "." + e.rsplit(".", 1)[1]
-                    break
+                    by_stem.setdefault(e.split(".")[0], e)
+                    if ext is None:
+                        ext = "." + e.rsplit(".", 1)[1]
         ext = ext or ".jpg"
         for stem, cap in d.items():
-            merged[os.path.join(folder, stem + ext)] = cap
+            merged[os.path.join(folder, by_stem.get(stem, stem + ext))] = cap
     return merged
 
 
@@ -95,7 +110,11 @@ def enumerate_pairs(
     ``listings`` maps folder → image filenames (injected so tests and
     offline runs need no real folder tree).  The reference also pairs
     HQ with itself via its own listing (reference:
-    qwen_caps_embedding_script.py:97-105) — kept.
+    qwen_caps_embedding_script.py:97-105) — kept.  Because the HQ path
+    sits inside its own ``hq_of`` group, the SR×SR combinations re-emit
+    every (HQ, SR) pair a second time — the reference's combinations
+    over the ``sr`` column (:105-110) do exactly the same, so the output
+    CSV matches row-for-row; dedup would silently change the scored set.
 
     The HQ path uses the HQ folder's OWN listing for the extension
     (merge_caption_dicts keys captions by the actual filename, so a

@@ -156,3 +156,17 @@ def test_saliency_path_for_conventions():
         sep.join(["", "data", "SaliencyMaps", "hq", "1.npy"])
     assert saliency_path_for(sep.join(["a.b", "hq", "img"])) == \
         sep.join(["a.b", "SaliencyMaps", "hq", "img.npy"])
+
+
+def test_iqa_maps_keep_shape_for_even_windows(np_rng):
+    """The box filter pads (half, window-1-half): a symmetric pad + VALID
+    conv returns (H+1, W+1) maps for EVEN windows, breaking the
+    documented same-shape contract (review r5)."""
+    import jax.numpy as jnp
+
+    x = jnp.asarray(np_rng.uniform(size=(1, 32, 32, 3)), jnp.float32)
+    y = jnp.asarray(np_rng.uniform(size=(1, 32, 32, 3)), jnp.float32)
+    for w in (7, 8):
+        m = np.asarray(psnr_map(x, y, window=w))
+        assert m.shape == (1, 32, 32), (w, m.shape)
+        assert np.isfinite(m).all()

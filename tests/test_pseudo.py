@@ -139,3 +139,28 @@ def test_enumerate_pairs_png_hq_folder():
     hq = os.path.join("HQ", "1.png")
     assert (hq, os.path.join("srA", "1.png")) in pairs
     assert all(a == hq for a, _ in pairs)
+
+
+def test_merge_caption_dicts_mixed_extension_folder(tmp_path):
+    """A mixed-extension folder must key each caption by the image's
+    ACTUAL filename (what enumerate_pairs emits), not one folder-wide
+    inferred extension — the reference's single-ext inference KeyErrors
+    the scoring lookup on every other extension.  Uniform folders keep
+    reference-identical keys."""
+    import os
+
+    from srsem.pseudo.captions import enumerate_pairs, merge_caption_dicts
+
+    folder = tmp_path / "HQ"
+    folder.mkdir()
+    for name in ("1.jpg", "2.png"):
+        (folder / name).write_bytes(b"x")
+    merged = merge_caption_dicts([{"1": "cap one", "2": "cap two"}],
+                                 [str(folder)])
+    assert merged == {os.path.join(str(folder), "1.jpg"): "cap one",
+                      os.path.join(str(folder), "2.png"): "cap two"}
+    # every enumerate_pairs path resolves in the merged dict
+    listings = {str(folder): ["1.jpg", "2.png"]}
+    for a, b in enumerate_pairs([str(folder)], listings,
+                                hq_folder=str(folder)):
+        assert a in merged and b in merged
